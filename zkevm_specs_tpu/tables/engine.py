@@ -1,0 +1,224 @@
+"""Columnar tables and the sorted-fingerprint lookup engine.
+
+The reference implements every lookup as an O(N) linear scan over a Python
+set with partial-key matching and 0/1/many-match error semantics
+(reference: src/zkevm_specs/evm_circuit/table.py:864-885).  Here a table is
+a structure of arrays (one limb tensor per column) and each *static*
+key-subset gets a sorted 64-bit fingerprint index:
+
+  1. fingerprint rows:  fp = sum_j w_j * col_j (mod p), w_j per-column
+     random weights fixed by a deterministic seed; compressed to u64.
+  2. sort once; queries use vectorized binary search (searchsorted), gather
+     up to K candidate rows, and *exactly* compare the queried columns —
+     so verdicts are exact, the fingerprint only routes the search.
+  3. 0 exact matches -> LookupUnsatFailure, >=2 -> LookupAmbiguousFailure,
+     matching the reference's semantics bit-for-bit.
+
+Everything is jit-compatible: index build and query are pure tensor ops.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..dsl.value import Ctx, F, Word, WordOrValue, width_for_bits
+from ..dsl.cs import ConstraintSystem
+from ..ops import fr
+from ..ops import limbs as L
+
+MAX_CANDIDATES = 8  # exact-compared rows per query; spans beyond this are
+# reported ambiguous (legitimate >8-way exact duplicates do not occur in
+# spec tables; u64 fingerprint 8-way collisions are out of reach).
+
+
+class Col:
+    """Column spec: scalar field column ("f", with bit bound) or word."""
+
+    def __init__(self, kind: str = "f", bits: int = 254):
+        assert kind in ("f", "word")
+        self.kind = kind
+        self.bits = bits
+
+
+class Schema:
+    def __init__(self, name: str, columns: Mapping[str, Col]):
+        self.name = name
+        self.columns = dict(columns)
+
+    def weight(self, col: str, part: str) -> int:
+        digest = hashlib.sha256(
+            f"zkevm-tpu-lookup/{self.name}/{col}/{part}".encode()
+        ).digest()
+        return int.from_bytes(digest, "big") % fr.P
+
+
+def _fp_u64(xp, limbs16):
+    """Compress canonical 16-limb values to u64 (low 64 bits)."""
+    l = limbs16.astype(xp.uint64)
+    return l[..., 0] | (l[..., 1] << 16) | (l[..., 2] << 32) | (l[..., 3] << 48)
+
+
+class Table:
+    """A columnar lookup table over a batch context."""
+
+    def __init__(self, ctx: Ctx, schema: Schema, data: Dict[str, Union[F, Word]], n_rows: int):
+        self.ctx = ctx
+        self.schema = schema
+        self.data = data
+        self.n_rows = n_rows
+        self._indexes: Dict[Tuple[str, ...], Tuple] = {}
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_rows(cls, ctx: Ctx, schema: Schema, rows: Sequence[Mapping[str, int]]) -> "Table":
+        """Build from host-side rows of Python ints (words as ints < 2^256).
+
+        Duplicate rows are collapsed, mirroring the reference's use of
+        Python sets for tables (table.py:578-625)."""
+        cols = list(schema.columns)
+        seen = set()
+        uniq: List[Tuple[int, ...]] = []
+        for r in rows:
+            t = tuple(int(r.get(c, 0)) for c in cols)
+            if t not in seen:
+                seen.add(t)
+                uniq.append(t)
+        data: Dict[str, Union[F, Word]] = {}
+        row_ctx = Ctx(ctx.xp, len(uniq), ctx.mode)
+        for j, c in enumerate(cols):
+            spec = schema.columns[c]
+            vals = [t[j] for t in uniq]
+            if spec.kind == "word":
+                data[c] = Word.from_ints(row_ctx, vals)
+            else:
+                data[c] = F.from_ints(row_ctx, vals, spec.bits)
+        return cls(ctx, schema, data, len(uniq))
+
+    # -- fingerprint index -------------------------------------------------
+
+    def _fingerprint(self, subset: Tuple[str, ...], values: Mapping[str, Union[F, Word]]):
+        """Random-linear-combination fingerprint of the subset columns."""
+        xp = self.ctx.xp
+        acc = None
+        for c in subset:
+            v = values[c]
+            spec = self.schema.columns[c]
+            if spec.kind == "word":
+                assert isinstance(v, Word)
+                parts = [("lo", v.lo), ("hi", v.hi)]
+            else:
+                parts = [("f", v if isinstance(v, F) else v.value())]
+            for part_name, fv in parts:
+                w = F.const(fv.ctx, self.schema.weight(c, part_name))
+                term = (fv * w).widen(16).limbs
+                acc = term if acc is None else fr.add(xp, acc, term)
+        return _fp_u64(xp, acc)
+
+    def index_for(self, subset: Tuple[str, ...]):
+        idx = self._indexes.get(subset)
+        if idx is None:
+            xp = self.ctx.xp
+            fps = self._fingerprint(subset, self.data)
+            order = xp.argsort(fps)
+            sorted_fps = fps[order]
+            idx = (sorted_fps, order)
+            self._indexes[subset] = idx
+        return idx
+
+    # -- query -------------------------------------------------------------
+
+    def lookup(
+        self,
+        cs: ConstraintSystem,
+        query: Mapping[str, Union[F, Word, None]],
+        enabled=None,
+    ) -> "Row":
+        """Resolve a batched query; returns the matched full rows.
+
+        ``enabled``: optional bool mask — lanes where False are not
+        constrained and get arbitrary row values.
+        """
+        ctx = self.ctx
+        xp = ctx.xp
+        subset = tuple(k for k, v in query.items() if v is not None)
+        for k in subset:
+            assert k in self.schema.columns, (self.schema.name, k)
+
+        if self.n_rows == 0:
+            bad = xp.ones((ctx.batch,), dtype=bool)
+            if enabled is not None:
+                bad = bad & enabled
+            cs.check(~bad, lambda: f"Lookup {self.schema.name} on empty table")
+            # synthesize all-zero rows
+            zero = {}
+            for c, spec in self.schema.columns.items():
+                if spec.kind == "word":
+                    zero[c] = Word.const(ctx, 0)
+                else:
+                    zero[c] = F.const(ctx, 0)
+            return Row(self.schema.name, zero)
+
+        sorted_fps, order = self.index_for(subset)
+        qfp = self._fingerprint(subset, {k: query[k] for k in subset})
+        qfp = xp.broadcast_to(qfp, (ctx.batch,))
+        left = xp.searchsorted(sorted_fps, qfp, side="left")
+        # candidate slots left+k; exact-compare subset columns
+        n_match = xp.zeros((ctx.batch,), dtype=xp.int32)
+        first_row = xp.zeros((ctx.batch,), dtype=xp.int32)
+        T = self.n_rows
+        for k in range(MAX_CANDIDATES):
+            slot = xp.minimum(left + k, T - 1)
+            in_span = ((left + k) < T) & (sorted_fps[slot] == qfp)
+            row_idx = order[slot].astype(xp.int32)
+            exact = in_span
+            for c in subset:
+                qv = query[c]
+                tv = self.data[c]
+                if self.schema.columns[c].kind == "word":
+                    if not isinstance(qv, Word):
+                        qv = WordOrValue(qv)
+                    exact = exact & tv.gather(row_idx).eq_mask(qv)
+                else:
+                    if isinstance(qv, Word):
+                        qv = qv.lo
+                    exact = exact & tv.gather(row_idx).eq_mask(qv)
+            is_first = exact & (n_match == 0)
+            first_row = xp.where(is_first, row_idx, first_row)
+            n_match = n_match + exact.astype(xp.int32)
+        ok_unsat = n_match >= 1
+        ok_unique = n_match <= 1
+        if enabled is not None:
+            ok_unsat = ok_unsat | ~enabled
+            ok_unique = ok_unique | ~enabled
+        name = self.schema.name
+        if ctx.eager:
+            qd = {k: query[k] for k in subset}
+            cs.check(ok_unsat, lambda: f"Lookup {name} is unsatisfied on inputs {qd}")
+            cs.check(ok_unique, lambda: f"Lookup {name} is ambiguous on inputs {qd}")
+        else:
+            cs.check(ok_unsat, lambda: f"Lookup {name} unsat")
+            cs.check(ok_unique, lambda: f"Lookup {name} ambiguous")
+        return self._gather_rows(first_row)
+
+    def _gather_rows(self, row_idx) -> "Row":
+        out = {}
+        for c, v in self.data.items():
+            out[c] = v.gather(row_idx)
+        return Row(self.schema.name, out)
+
+
+class Row:
+    """A batch of gathered table rows with attribute access."""
+
+    def __init__(self, table: str, cols: Dict[str, Union[F, Word]]):
+        self._table = table
+        self._cols = cols
+
+    def __getattr__(self, name):
+        try:
+            return self.__dict__["_cols"][name]
+        except KeyError:
+            raise AttributeError(f"{self._table} row has no column {name}")
