@@ -85,11 +85,14 @@ class F:
 
     @staticmethod
     def from_ints(ctx: Ctx, values: Sequence[int], bits: int = 254) -> "F":
-        """Build from host ints with a *declared* bound (shape-stable across
-        groups; actual values must respect the bound)."""
+        """Build from host ints with a *declared* bound.
+
+        Well-formed witnesses respect the bound (shape-stable for jit);
+        malformed ones (negative-test vectors) auto-widen instead of
+        crashing, so range constraints can reject them."""
         vals = [int(v) % fr.P for v in values]
         real_bits = max([max(v.bit_length(), 1) for v in vals], default=1)
-        assert real_bits <= bits, f"value needs {real_bits} bits, declared {bits}"
+        bits = max(bits, real_bits)
         w = width_for_bits(bits)
         return F(ctx, ctx.xp.asarray(L.ints_to_limbs(vals, w)), bits)
 

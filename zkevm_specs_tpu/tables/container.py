@@ -52,7 +52,7 @@ def fixed_tables() -> FixedTables:
 class Tables:
     def __init__(
         self,
-        ctx: Ctx,
+        ctx: Ctx = None,
         block_table: Sequence[Mapping[str, int]] = (),
         tx_table: Sequence[Mapping[str, int]] = (),
         withdrawal_table: Sequence[Mapping[str, int]] = (),
@@ -65,6 +65,10 @@ class Tables:
         ecc_table: Sequence[Mapping[str, int]] = (),
         mpt_table: Sequence[Mapping[str, int]] = (),
     ):
+        if ctx is None:
+            import numpy as _np
+
+            ctx = Ctx(_np, 1, "eager")
         self.ctx = ctx
         self.fixed = fixed_tables()
         self.block = Table.from_rows(ctx, S.BLOCK_SCHEMA, block_table)
