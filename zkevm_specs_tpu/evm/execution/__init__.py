@@ -4,27 +4,49 @@ from typing import Callable, Dict
 from ..execution_state import ExecutionState
 
 from .add_sub import add_sub
+from .addmod import addmod
+from .bitwise import bitwise
+from .byte import byte
 from .comparator import cmp
+from .exp import exp
 from .gas import gas
 from .iszero import iszero
 from .jump import jump
 from .jumpi import jumpi
 from .msize import msize
+from .mul_div_mod import mul_div_mod
+from .mulmod import mulmod
 from .not_ import not_opcode
 from .pop import pop
 from .push import push
+from .sar import sar
+from .sdiv_smod import sdiv_smod
+from .shl_shr import shl_shr
+from .signextend import signextend
+from .slt_sgt import scmp
 from .stop import stop
 
 EXECUTION_STATE_IMPL: Dict[ExecutionState, Callable] = {
     ExecutionState.ADD: add_sub,
+    ExecutionState.ADDMOD: addmod,
+    ExecutionState.BITWISE: bitwise,
+    ExecutionState.BYTE: byte,
     ExecutionState.CMP: cmp,
+    ExecutionState.EXP: exp,
     ExecutionState.GAS: gas,
     ExecutionState.ISZERO: iszero,
     ExecutionState.JUMP: jump,
     ExecutionState.JUMPI: jumpi,
     ExecutionState.MSIZE: msize,
+    ExecutionState.MUL: mul_div_mod,
+    ExecutionState.MULMOD: mulmod,
     ExecutionState.NOT: not_opcode,
     ExecutionState.POP: pop,
     ExecutionState.PUSH: push,
+    ExecutionState.SAR: sar,
+    ExecutionState.SDIV_SMOD: sdiv_smod,
+    ExecutionState.SHL_SHR: shl_shr,
+    ExecutionState.SIGNEXTEND: signextend,
+    ExecutionState.SCMP: scmp,
     ExecutionState.STOP: stop,
 }

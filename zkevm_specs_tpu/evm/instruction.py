@@ -221,6 +221,26 @@ class Instruction:
         """Bool mask of a 0/1 condition value."""
         return ~self._f(condition).is_zero_mask()
 
+    # -- host witness hints (eager mode) ----------------------------------
+
+    def ints_of(self, v: Union[F, Word]) -> List[int]:
+        """Per-lane Python ints of a value, broadcast to the batch size.
+
+        Used to compute witness *hints* (quotients, remainders, inverses)
+        the way the reference derives them from concrete values; the hints
+        are then constrained like any other value.  Eager mode only — the
+        jit runner precomputes hints via a prior eager pass."""
+        vals = v.to_ints()
+        if len(vals) == 1 and self.ctx.batch > 1:
+            vals = vals * self.ctx.batch
+        return vals
+
+    def word_hint(self, values: Sequence[int]) -> Word:
+        return Word.from_ints(self.ctx, [v % (1 << 256) for v in values])
+
+    def f_hint(self, values: Sequence[int], bits: int = 254) -> F:
+        return F.from_ints(self.ctx, values, bits)
+
     # -- execution-state machine ------------------------------------------
 
     def constrain_execution_state_transition(self):
