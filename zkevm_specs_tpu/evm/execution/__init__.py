@@ -5,6 +5,21 @@ from ..execution_state import ExecutionState
 
 from .add_sub import add_sub
 from .addmod import addmod
+from .balance import balance
+from .calldataload import calldataload
+from .context import (
+    address,
+    blockctx,
+    blockhash,
+    caller,
+    calldatasize,
+    callvalue,
+    codesize,
+    gasprice,
+    origin,
+    returndatasize,
+    selfbalance,
+)
 from .bitwise import bitwise
 from .byte import byte
 from .comparator import cmp
@@ -29,6 +44,19 @@ from .stop import stop
 EXECUTION_STATE_IMPL: Dict[ExecutionState, Callable] = {
     ExecutionState.ADD: add_sub,
     ExecutionState.ADDMOD: addmod,
+    ExecutionState.ADDRESS: address,
+    ExecutionState.BALANCE: balance,
+    ExecutionState.BLOCKHASH: blockhash,
+    ExecutionState.BlockCtx: blockctx,
+    ExecutionState.CALLDATALOAD: calldataload,
+    ExecutionState.CALLDATASIZE: calldatasize,
+    ExecutionState.CALLER: caller,
+    ExecutionState.CALLVALUE: callvalue,
+    ExecutionState.CODESIZE: codesize,
+    ExecutionState.GASPRICE: gasprice,
+    ExecutionState.ORIGIN: origin,
+    ExecutionState.RETURNDATASIZE: returndatasize,
+    ExecutionState.SELFBALANCE: selfbalance,
     ExecutionState.BITWISE: bitwise,
     ExecutionState.BYTE: byte,
     ExecutionState.CMP: cmp,
