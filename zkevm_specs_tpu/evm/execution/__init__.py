@@ -23,7 +23,18 @@ from .context import (
 from .bitwise import bitwise
 from .byte import byte
 from .comparator import cmp
+from .copy_family import (
+    calldatacopy,
+    codecopy,
+    extcodecopy,
+    returndatacopy,
+    sha3,
+)
 from .exp import exp
+from .extcode import extcodehash, extcodesize
+from .log import log
+from .memory import memory
+from .storage import sload, sstore
 from .gas import gas
 from .iszero import iszero
 from .jump import jump
@@ -48,8 +59,19 @@ EXECUTION_STATE_IMPL: Dict[ExecutionState, Callable] = {
     ExecutionState.BALANCE: balance,
     ExecutionState.BLOCKHASH: blockhash,
     ExecutionState.BlockCtx: blockctx,
+    ExecutionState.CALLDATACOPY: calldatacopy,
     ExecutionState.CALLDATALOAD: calldataload,
     ExecutionState.CALLDATASIZE: calldatasize,
+    ExecutionState.CODECOPY: codecopy,
+    ExecutionState.EXTCODECOPY: extcodecopy,
+    ExecutionState.EXTCODEHASH: extcodehash,
+    ExecutionState.EXTCODESIZE: extcodesize,
+    ExecutionState.LOG: log,
+    ExecutionState.MEMORY: memory,
+    ExecutionState.RETURNDATACOPY: returndatacopy,
+    ExecutionState.SHA3: sha3,
+    ExecutionState.SLOAD: sload,
+    ExecutionState.SSTORE: sstore,
     ExecutionState.CALLER: caller,
     ExecutionState.CALLVALUE: callvalue,
     ExecutionState.CODESIZE: codesize,
