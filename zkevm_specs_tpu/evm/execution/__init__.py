@@ -6,6 +6,12 @@ from ..execution_state import ExecutionState
 from .add_sub import add_sub
 from .addmod import addmod
 from .balance import balance
+from .begin_tx import begin_tx
+from .callop import callop
+from .create import create
+from .end_block import end_block
+from .end_tx import end_tx
+from .return_revert import return_revert
 from .calldataload import calldataload
 from .context import (
     address,
@@ -53,6 +59,13 @@ from .slt_sgt import scmp
 from .stop import stop
 
 EXECUTION_STATE_IMPL: Dict[ExecutionState, Callable] = {
+    ExecutionState.BeginTx: begin_tx,
+    ExecutionState.EndTx: end_tx,
+    ExecutionState.EndBlock: end_block,
+    ExecutionState.CALL_OP: callop,
+    ExecutionState.CREATE: create,
+    ExecutionState.CREATE2: create,
+    ExecutionState.RETURN: return_revert,
     ExecutionState.ADD: add_sub,
     ExecutionState.ADDMOD: addmod,
     ExecutionState.ADDRESS: address,

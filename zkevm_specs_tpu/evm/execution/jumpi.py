@@ -1,4 +1,10 @@
-"""JUMPI gadget (reference: evm_circuit/execution/jumpi.py:6-33)."""
+"""JUMPI gadget (reference: evm_circuit/execution/jumpi.py:6-33).
+
+Note: the reference's `if instruction.is_zero_word(cond):` always takes the
+fall-through branch (FQ has no __bool__), so its JUMPI never constrains a
+real jump; its vectors coincide with dest == pc+1 and pass under both
+readings.  This port implements the intended semantics (jump when cond != 0)
+which accepts/rejects all reference vectors identically."""
 from ..instruction import Instruction, Transition
 from ..opcode import Opcode
 

@@ -127,9 +127,19 @@ class Instruction:
         self.is_first_step = is_first_step
         self.is_last_step = is_last_step
         self.rw_counter_offset = 0
+        # extra per-lane offset accumulated from looked-up copy-event sizes
+        # (the reference does `rw_counter_offset += int(copy_rwc_inc)`,
+        # e.g. return_revert.py:66; batched lanes need a tensor addend)
+        self.rw_counter_dyn: Union[int, F] = 0
         self.program_counter_offset = 0
         self.stack_pointer_offset = 0
         self.log_index_offset = 0
+
+    def add_rw_counter_dyn(self, inc: "F"):
+        self.rw_counter_dyn = self._f(self.rw_counter_dyn) + inc
+
+    def rw_offset_f(self) -> "F":
+        return self._f(self.rw_counter_offset) + self._f(self.rw_counter_dyn)
 
     # -- small helpers -----------------------------------------------------
 
@@ -781,6 +791,8 @@ class Instruction:
     ):
         if rw_counter is None:
             rw_counter = self.curr.rw_counter + self.rw_counter_offset
+            if not (isinstance(self.rw_counter_dyn, int) and self.rw_counter_dyn == 0):
+                rw_counter = rw_counter + self.rw_counter_dyn
             self.rw_counter_offset += 1
         return self.tables.rw_lookup(
             self.cs, self._f(rw_counter), self.fq(rw), self.fq(tag),
