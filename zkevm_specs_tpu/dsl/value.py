@@ -100,6 +100,9 @@ class F:
     def from_bool(ctx: Ctx, mask) -> "F":
         return F(ctx, mask.astype(L.DTYPE)[..., None], 1)
 
+    def to_backend(self, ctx: Ctx) -> "F":
+        return F(ctx, ctx.xp.asarray(np.asarray(self.limbs)), self.bits)
+
     @staticmethod
     def zeros(ctx: Ctx) -> "F":
         return F.const(ctx, 0)
@@ -321,6 +324,9 @@ class Word:
 
     def to_lo_hi(self) -> Tuple[F, F]:
         return self.lo, self.hi
+
+    def to_backend(self, ctx: Ctx) -> "Word":
+        return Word(self.lo.to_backend(ctx), self.hi.to_backend(ctx))
 
     def to_64s(self) -> Tuple[F, F, F, F]:
         lo_q, lo_r = self.lo.split_pow2(64, 64)

@@ -101,3 +101,38 @@ class StepStateBatch:
         self.is_create = F.from_ints(ctx, [int(s.is_create) for s in steps], 1)
         self.code_hash = Word.from_ints(ctx, [s.code_hash for s in steps])
         self.aux_data = [s.aux_data for s in steps]
+
+    COLUMNS = (
+        "execution_state", "rw_counter", "call_id", "is_root", "is_create",
+        "program_counter", "stack_pointer", "gas_left", "memory_word_size",
+        "reversible_write_counter", "log_id",
+    )
+
+    def to_columns(self):
+        """Raw limb arrays for the jit boundary."""
+        cols = {name: getattr(self, name).limbs for name in self.COLUMNS}
+        cols["code_hash_lo"] = self.code_hash.lo.limbs
+        cols["code_hash_hi"] = self.code_hash.hi.limbs
+        return cols
+
+    @classmethod
+    def from_columns(cls, ctx: Ctx, cols, static_state=None, bits=None):
+        """Rebuild from raw limb arrays (inside jit); ``bits`` carries the
+        per-column static bounds captured at trace time."""
+        out = object.__new__(cls)
+        out.ctx = ctx
+        out.execution_state_static = static_state
+        for name in cls.COLUMNS:
+            setattr(out, name, F(ctx, cols[name], bits[name]))
+        out.code_hash = Word(
+            F(ctx, cols["code_hash_lo"], bits["code_hash_lo"]),
+            F(ctx, cols["code_hash_hi"], bits["code_hash_hi"]),
+        )
+        out.aux_data = None
+        return out
+
+    def column_bits(self):
+        bits = {name: getattr(self, name).bits for name in self.COLUMNS}
+        bits["code_hash_lo"] = self.code_hash.lo.bits
+        bits["code_hash_hi"] = self.code_hash.hi.bits
+        return bits

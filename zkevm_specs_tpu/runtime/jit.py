@@ -1,0 +1,148 @@
+"""Production (jit/TPU) execution path for the EVM circuit.
+
+Spec mode evaluates gadget groups eagerly on numpy; this module compiles the
+same gadget code with jax.jit for the TPU:
+
+1. an eager *trace pass* over a representative group captures the gadget's
+   control signature (branch decisions) and the static magnitude bounds of
+   every step column;
+2. a jitted kernel is built that replays the signature, evaluates all
+   constraints/lookups as one fused XLA program over the whole batch, and
+   returns the per-lane failure bits;
+3. tables travel across the jit boundary as a flat pytree of limb arrays
+   (sorted lookup indexes are prebuilt eagerly and shipped along).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..dsl.cs import ConstraintSystem, LaneSplit
+from ..dsl.value import Ctx, F, Word
+from ..evm.execution import EXECUTION_STATE_IMPL
+from ..evm.instruction import Instruction
+from ..evm.main import verify_step
+from ..evm.step import StepState, StepStateBatch
+from ..tables.container import Tables
+from ..tables.engine import Table
+
+
+# -- tables across the jit boundary ----------------------------------------
+
+_TABLE_NAMES = (
+    "block", "tx", "withdrawal", "bytecode", "rw", "copy",
+    "keccak", "exp", "sig", "ecc", "mpt",
+)
+
+
+def tables_to_pytree(tables: Tables):
+    tree = {}
+    for name in _TABLE_NAMES:
+        t: Table = getattr(tables, name)
+        cols = {}
+        for cname, v in t.data.items():
+            if isinstance(v, Word):
+                cols[cname] = {"lo": v.lo.limbs, "hi": v.hi.limbs}
+            else:
+                cols[cname] = {"f": v.limbs}
+        idx = {
+            "/".join(subset): {"fps": fps, "order": order}
+            for subset, (fps, order) in t._indexes.items()
+        }
+        tree[name] = {"cols": cols, "idx": idx}
+    return tree
+
+
+def tables_meta(tables: Tables):
+    meta = {}
+    for name in _TABLE_NAMES:
+        t: Table = getattr(tables, name)
+        bits = {}
+        for cname, v in t.data.items():
+            if isinstance(v, Word):
+                bits[cname] = (v.lo.bits, v.hi.bits)
+            else:
+                bits[cname] = v.bits
+        meta[name] = {"n_rows": t.n_rows, "schema": t.schema, "bits": bits}
+    return meta
+
+
+def tables_from_pytree(ctx: Ctx, tree, meta) -> Tables:
+    out = object.__new__(Tables)
+    out.ctx = ctx
+    from ..tables.container import fixed_tables
+
+    out.fixed = fixed_tables()
+    for name in _TABLE_NAMES:
+        m = meta[name]
+        cols = {}
+        for cname, arrs in tree[name]["cols"].items():
+            b = m["bits"][cname]
+            if "lo" in arrs:
+                cols[cname] = Word(F(ctx, arrs["lo"], b[0]), F(ctx, arrs["hi"], b[1]))
+            else:
+                cols[cname] = F(ctx, arrs["f"], b)
+        t = Table(ctx, m["schema"], cols, m["n_rows"])
+        for key, d in tree[name]["idx"].items():
+            t._indexes[tuple(key.split("/"))] = (d["fps"], d["order"])
+        setattr(out, name, t)
+    return out
+
+
+# -- compiled group verifier ------------------------------------------------
+
+class CompiledGroupVerifier:
+    """Compiles one (execution_state, signature) group of the EVM circuit."""
+
+    def __init__(self, tables_np: Tables, state, steps: List[StepState],
+                 next_steps: List[StepState], is_first=False, is_last=False):
+        import jax
+
+        self.state = state
+        self.is_first = is_first
+        self.is_last = is_last
+
+        # 1. eager trace pass: capture signature + column bounds + indexes
+        ctx = Ctx(np, len(steps), "eager")
+        cs = ConstraintSystem(ctx)
+        curr = StepStateBatch(ctx, steps, state)
+        nxt = StepStateBatch(ctx, next_steps)
+        inst = Instruction(ctx, cs, tables_np.with_ctx(ctx), curr, nxt, is_first, is_last)
+        verify_step(inst)  # raises LaneSplit if the group isn't uniform
+        self.signature = list(cs.decisions)
+        self.curr_bits = curr.column_bits()
+        self.next_bits = nxt.column_bits()
+        self.tables_tree_np = tables_to_pytree(tables_np)
+        self.meta = tables_meta(tables_np)
+
+        sig = self.signature
+        meta = self.meta
+        curr_bits, next_bits = self.curr_bits, self.next_bits
+        st, isf, isl = state, is_first, is_last
+
+        def fn(curr_cols, next_cols, tables_tree):
+            import jax.numpy as jnp
+
+            batch = next(iter(curr_cols.values())).shape[0]
+            jctx = Ctx(jnp, batch, "jit")
+            jcs = ConstraintSystem(jctx)
+            jcs.decisions = list(sig)
+            jtables = tables_from_pytree(jctx, tables_tree, meta)
+            jcurr = StepStateBatch.from_columns(jctx, curr_cols, st, curr_bits)
+            jnxt = StepStateBatch.from_columns(jctx, next_cols, None, next_bits)
+            jinst = Instruction(jctx, jcs, jtables, jcurr, jnxt, isf, isl)
+            verify_step(jinst)
+            return jcs.fail
+
+        self._jit = jax.jit(fn)
+        self.n_constraints = len(cs.records)
+
+    def prepare_inputs(self, steps: List[StepState], next_steps: List[StepState]):
+        ctx = Ctx(np, len(steps), "eager")
+        curr = StepStateBatch(ctx, steps, self.state)
+        nxt = StepStateBatch(ctx, next_steps)
+        return curr.to_columns(), nxt.to_columns(), self.tables_tree_np
+
+    def __call__(self, curr_cols, next_cols, tables_tree):
+        return self._jit(curr_cols, next_cols, tables_tree)

@@ -8,7 +8,7 @@ are computed predicates (see fixed.py).
 """
 from __future__ import annotations
 
-from typing import Mapping, Optional, Sequence, Union
+from typing import Mapping, Optional, Sequence, Tuple, Union
 
 from ..dsl.value import Ctx, F, Word, WordOrValue
 from ..dsl.cs import ConstraintSystem
@@ -99,6 +99,29 @@ class Tables:
             nt._indexes = t._indexes
             setattr(out, name, nt)
         return out
+
+    def to_backend(self, ctx: Ctx) -> "Tables":
+        """Move all dynamic tables (and their sorted indexes) to another array
+        backend (e.g. jnp for the TPU jit path)."""
+        import copy as _copy
+
+        out = _copy.copy(self)
+        out.ctx = ctx
+        for name in (
+            "block", "tx", "withdrawal", "bytecode", "rw", "copy",
+            "keccak", "exp", "sig", "ecc", "mpt",
+        ):
+            setattr(out, name, getattr(self, name).to_backend(ctx))
+        return out
+
+    def build_indexes(self, subsets: Mapping[str, Sequence[Tuple[str, ...]]] = None):
+        """Pre-build the sorted lookup indexes eagerly (before jit capture)."""
+        for name in ("block", "tx", "withdrawal", "bytecode", "rw", "copy",
+                     "keccak", "exp", "sig", "ecc", "mpt"):
+            t: Table = getattr(self, name)
+            if subsets and name in subsets:
+                for s in subsets[name]:
+                    t.index_for(s)
 
     # -- typed lookups (reference table.py:673-858) ------------------------
 

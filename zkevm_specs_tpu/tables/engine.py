@@ -100,7 +100,13 @@ class Table:
     # -- fingerprint index -------------------------------------------------
 
     def _fingerprint(self, subset: Tuple[str, ...], values: Mapping[str, Union[F, Word]]):
-        """Random-linear-combination fingerprint of the subset columns."""
+        """u64 mixing hash of the subset columns.
+
+        Cheap by design (a handful of u64 multiply-adds per key limb): the
+        fingerprint only *routes* the binary search — correctness comes from
+        the exact column comparison of the gathered candidates, so a collision
+        can at worst cost extra compares, never a wrong verdict (only a
+        cosmically unlikely spurious ambiguity report)."""
         xp = self.ctx.xp
         acc = None
         for c in subset:
@@ -112,10 +118,22 @@ class Table:
             else:
                 parts = [("f", v if isinstance(v, F) else v.value())]
             for part_name, fv in parts:
-                w = F.const(fv.ctx, self.schema.weight(c, part_name))
-                term = (fv * w).widen(16).limbs
-                acc = term if acc is None else fr.add(xp, acc, term)
-        return _fp_u64(xp, acc)
+                mult = xp.uint64((self.schema.weight(c, part_name) & ((1 << 63) - 1)) | 1)
+                limbs = fv.limbs.astype(xp.uint64)
+                # hash a FIXED 16 limbs per part so the result is independent
+                # of the storage width (queries and columns may differ)
+                col_acc = None
+                for k in range(16):
+                    term = limbs[..., k] if k < limbs.shape[-1] else None
+                    if col_acc is None:
+                        col_acc = term if term is not None else xp.zeros(limbs.shape[:-1], dtype=xp.uint64)
+                    else:
+                        col_acc = col_acc * xp.uint64(0x9E3779B97F4A7C15)
+                        if term is not None:
+                            col_acc = col_acc + term
+                col_acc = col_acc * mult
+                acc = col_acc if acc is None else acc + col_acc
+        return acc
 
     def index_for(self, subset: Tuple[str, ...]):
         idx = self._indexes.get(subset)
@@ -202,6 +220,18 @@ class Table:
             cs.check(ok_unsat, lambda: f"Lookup {name} unsat")
             cs.check(ok_unique, lambda: f"Lookup {name} ambiguous")
         return self._gather_rows(first_row)
+
+    def to_backend(self, ctx: Ctx) -> "Table":
+        """Re-materialize the table (and its built indexes) on another array
+        backend — used to move eagerly-built tables onto the TPU for jit."""
+        data = {c: v.to_backend(ctx) for c, v in self.data.items()}
+        out = Table(ctx, self.schema, data, self.n_rows)
+        for subset, (fps, order) in self._indexes.items():
+            out._indexes[subset] = (
+                ctx.xp.asarray(np.asarray(fps)),
+                ctx.xp.asarray(np.asarray(order)),
+            )
+        return out
 
     def _gather_rows(self, row_idx) -> "Row":
         out = {}
