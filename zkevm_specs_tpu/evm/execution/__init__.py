@@ -11,6 +11,28 @@ from .callop import callop
 from .create import create
 from .end_block import end_block
 from .end_tx import end_tx
+from .errors import (
+    error_code_store,
+    error_gas_uint_overflow,
+    error_invalid_creation_code,
+    error_invalid_jump,
+    error_invalid_opcode,
+    error_oog_account_access,
+    error_oog_call,
+    error_oog_constant,
+    error_oog_create,
+    error_oog_dynamic_memory_expansion,
+    error_oog_exp,
+    error_oog_log,
+    error_oog_memory_copy,
+    error_oog_precompile,
+    error_oog_sha3,
+    error_oog_sload_sstore,
+    error_oog_static_memory_expansion,
+    error_return_data_out_of_bound,
+    error_stack,
+    error_write_protection,
+)
 from .return_revert import return_revert
 from .calldataload import calldataload
 from .context import (
@@ -112,4 +134,25 @@ EXECUTION_STATE_IMPL: Dict[ExecutionState, Callable] = {
     ExecutionState.SIGNEXTEND: signextend,
     ExecutionState.SCMP: scmp,
     ExecutionState.STOP: stop,
+    ExecutionState.ErrorInvalidJump: error_invalid_jump,
+    ExecutionState.ErrorGasUintOverflow: error_gas_uint_overflow,
+    ExecutionState.ErrorOutOfGasCall: error_oog_call,
+    ExecutionState.ErrorInvalidOpcode: error_invalid_opcode,
+    ExecutionState.ErrorOutOfGasConstant: error_oog_constant,
+    ExecutionState.ErrorStack: error_stack,
+    ExecutionState.ErrorOutOfGasDynamicMemoryExpansion: error_oog_dynamic_memory_expansion,
+    ExecutionState.ErrorOutOfGasMemoryCopy: error_oog_memory_copy,
+    ExecutionState.ErrorOutOfGasLOG: error_oog_log,
+    ExecutionState.ErrorWriteProtection: error_write_protection,
+    ExecutionState.ErrorMaxCodeSizeExceeded: error_code_store,
+    ExecutionState.ErrorOutOfGasCodeStore: error_code_store,
+    ExecutionState.ErrorOutOfGasEXP: error_oog_exp,
+    ExecutionState.ErrorInvalidCreationCode: error_invalid_creation_code,
+    ExecutionState.ErrorOutOfGasSHA3: error_oog_sha3,
+    ExecutionState.ErrorOutOfGasAccountAccess: error_oog_account_access,
+    ExecutionState.ErrorOutOfGasStaticMemoryExpansion: error_oog_static_memory_expansion,
+    ExecutionState.ErrorOutOfGasSloadSstore: error_oog_sload_sstore,
+    ExecutionState.ErrorReturnDataOutOfBound: error_return_data_out_of_bound,
+    ExecutionState.ErrorOutOfGasCREATE: error_oog_create,
+    ExecutionState.ErrorOutOfGasPrecompile: error_oog_precompile,
 }

@@ -204,6 +204,32 @@ class Instruction:
         mask = cond if not isinstance(cond, F) else ~cond.is_zero_mask()
         return self.cs.branch(mask)
 
+    def uniform_int(self, value: F) -> int:
+        """Lane-uniform Python int of a witness value (loop bounds etc.).
+
+        Recorded in the control signature like branch(); replayed with an
+        equality constraint under jit."""
+        from ..dsl.cs import LaneSplit
+
+        value = self._f(value)
+        cs = self.cs
+        if cs._decision_idx < len(cs.decisions):
+            decided = cs.decisions[cs._decision_idx]
+            cs._decision_idx += 1
+            cs.check(
+                value.eq_mask(F.const(self.ctx, int(decided))),
+                lambda: f"Value diverged from signature {decided}",
+            )
+            return int(decided)
+        assert self.ctx.eager, "jit mode requires a full control signature"
+        vals = self.ints_of(value)
+        first = vals[0]
+        if all(v == first for v in vals):
+            cs.decisions.append(first)
+            cs._decision_idx += 1
+            return first
+        raise LaneSplit(np.array([v == first for v in vals]))
+
     def condition(self, condition: F, build: Callable):
         """Reference's conditional gadget-building helper
         (instruction.py:425-427): run build() only when condition holds."""
