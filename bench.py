@@ -24,7 +24,7 @@ def main():
     from zkevm_specs_tpu.evm import ExecutionState
     from zkevm_specs_tpu.runtime.jit import CompiledGroupVerifier
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "4096"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "8192"))
     tables, steps, nexts = graft._build_add_workload(n_steps)
 
     verifier = CompiledGroupVerifier(tables, ExecutionState.ADD, steps, nexts)

@@ -1,0 +1,124 @@
+"""secp256k1 ECDSA — sign, verify, and public-key recovery.
+
+The reference delegates to eth_keys (reference: src/zkevm_specs/util/ec.py:
+59-117); that dependency is absent here, so the curve arithmetic is
+implemented directly (Jacobian double-and-add over the secp256k1 prime
+field).  Used by witness generation (tx signing / pubkey recovery) and by
+the sig circuit's validity predicate.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+# curve: y^2 = x^3 + 7 over F_p
+P = 2**256 - 2**32 - 977
+N = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
+Gx = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
+Gy = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
+G = (Gx, Gy)
+
+Point = Optional[Tuple[int, int]]  # None = infinity
+
+
+def _inv(a: int, m: int) -> int:
+    return pow(a, m - 2, m)
+
+
+def add(p1: Point, p2: Point) -> Point:
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2:
+        if (y1 + y2) % P == 0:
+            return None
+        lam = (3 * x1 * x1) * _inv(2 * y1, P) % P
+    else:
+        lam = (y2 - y1) * _inv(x2 - x1, P) % P
+    x3 = (lam * lam - x1 - x2) % P
+    y3 = (lam * (x1 - x3) - y1) % P
+    return (x3, y3)
+
+
+def mul(p: Point, k: int) -> Point:
+    k %= N
+    result: Point = None
+    addend = p
+    while k:
+        if k & 1:
+            result = add(result, addend)
+        addend = add(addend, addend)
+        k >>= 1
+    return result
+
+
+def is_on_curve(p: Point) -> bool:
+    if p is None:
+        return True
+    x, y = p
+    return (y * y - x * x * x - 7) % P == 0
+
+
+def sign(msg_hash: int, priv_key: int, k: int) -> Tuple[int, int, int]:
+    """Deterministic-k signing (k supplied by the caller). Returns (v, r, s)
+    with v in {0, 1} (recovery id)."""
+    R = mul(G, k)
+    assert R is not None
+    r = R[0] % N
+    assert r != 0
+    s = (_inv(k, N) * (msg_hash + r * priv_key)) % N
+    assert s != 0
+    v = R[1] & 1
+    if R[0] >= N:
+        v |= 2
+    return v, r, s
+
+
+def recover(msg_hash: int, v: int, r: int, s: int) -> Point:
+    """Recover the public key; returns None if the signature is invalid
+    (mirrors eth_keys ecdsa_recover semantics)."""
+    if not (1 <= r < N and 1 <= s < N and v in (0, 1, 2, 3)):
+        return None
+    x = r + N * (v >> 1)
+    if x >= P:
+        return None
+    y_sq = (pow(x, 3, P) + 7) % P
+    y = pow(y_sq, (P + 1) // 4, P)
+    if (y * y) % P != y_sq:
+        return None
+    if (y & 1) != (v & 1):
+        y = P - y
+    Rp = (x, y)
+    r_inv = _inv(r, N)
+    # Q = r^-1 (s*R - z*G)
+    u1 = (-msg_hash * r_inv) % N
+    u2 = (s * r_inv) % N
+    Q = add(mul(G, u1), mul(Rp, u2))
+    return Q
+
+
+def verify(msg_hash: int, r: int, s: int, pubkey: Point) -> bool:
+    """Standard ECDSA verification (mirrors KeyAPI().ecdsa_verify)."""
+    if pubkey is None or not is_on_curve(pubkey):
+        return False
+    if not (1 <= r < N and 1 <= s < N):
+        return False
+    w = _inv(s, N)
+    u1 = (msg_hash * w) % N
+    u2 = (r * w) % N
+    R = add(mul(G, u1), mul(pubkey, u2))
+    if R is None:
+        return False
+    return R[0] % N == r
+
+
+def pubkey_bytes(pubkey: Point) -> bytes:
+    """64-byte uncompressed encoding (x || y, big-endian)."""
+    assert pubkey is not None
+    return pubkey[0].to_bytes(32, "big") + pubkey[1].to_bytes(32, "big")
+
+
+def priv_to_pub(priv_key: int) -> Point:
+    return mul(G, priv_key)
