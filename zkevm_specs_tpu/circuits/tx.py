@@ -1,0 +1,235 @@
+"""Tx circuit — verifies the tx table layout and tx signatures
+(reference: src/zkevm_specs/tx_circuit.py:1-478).
+
+RLP-encodes sign data, recovers the public key, links address =
+keccak(pk)[-20:] through the keccak table, and verifies ECDSA per tx.
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple, Union
+
+from ..ops.ecc import secp256k1
+from ..ops.keccak import keccak256
+from ..tables.schemas import TxContextFieldTag as Tag
+from ..utils.param import (
+    GAS_COST_TX_CALL_DATA_PER_NON_ZERO_BYTE,
+    GAS_COST_TX_CALL_DATA_PER_ZERO_BYTE,
+)
+from ..witness.rlc import RLC, linear_combine_bytes
+from ..witness.rlp import rlp_encode
+from .sig import KeccakTable
+
+
+class Row(NamedTuple):
+    tx_id: int
+    tag: int
+    index: int
+    value: int  # word/value as int
+
+
+class SignVerifyChip:
+    """Links an Ethereum address to a signed message hash
+    (reference tx_circuit.py:161-243).  address == 0 disables verification
+    (padding tx)."""
+
+    def __init__(self, pub_key_hash: bytes, address: int, msg_hash: int,
+                 signature: Tuple[int, int], pub_key: Tuple[int, int],
+                 msg_hash_int: int):
+        self.pub_key_hash = pub_key_hash
+        self.address = address
+        self.msg_hash = msg_hash
+        self.signature = signature
+        self.pub_key = pub_key
+        self.msg_hash_int = msg_hash_int
+
+    @classmethod
+    def assign(cls, signature: Tuple[int, int], pub_key: Tuple[int, int], msg_hash: bytes):
+        pub_key_hash = keccak256(secp256k1.pubkey_bytes(pub_key))
+        address = int.from_bytes(pub_key_hash[-20:], "big")
+        h = int.from_bytes(msg_hash, "big")
+        return cls(pub_key_hash, address, h, signature, pub_key, h)
+
+    def verify(self, keccak_table: KeccakTable, keccak_randomness: int, assert_msg: str):
+        is_not_padding = 0 if self.address == 0 else 1
+
+        # 1. keccak(pub_key) == pub_key_hash (disabled for padding)
+        pk_bytes = secp256k1.pubkey_bytes(self.pub_key)
+        rlc = RLC(bytes(reversed(pk_bytes)), keccak_randomness, n_bytes=64).expr()
+        keccak_table.lookup(
+            is_not_padding,
+            rlc if is_not_padding else 0,
+            64 * is_not_padding,
+            int.from_bytes(self.pub_key_hash, "big") if is_not_padding else 0,
+            assert_msg,
+        )
+
+        # 2. low 20 bytes of hash == address
+        addr = linear_combine_bytes(list(reversed(self.pub_key_hash[-20:])), 1 << 8,
+                                    range_check=False)
+        assert addr == self.address, f"{assert_msg}: address mismatch"
+
+        # 3. signed message == msg_hash (masked for padding)
+        assert (self.msg_hash_int if is_not_padding else 0) == (
+            self.msg_hash if is_not_padding else 0
+        ), f"{assert_msg}: msg hash mismatch"
+
+        # 4. ECDSA verification
+        assert secp256k1.verify(
+            self.msg_hash_int, self.signature[0], self.signature[1], self.pub_key
+        ), f"{assert_msg}: ecdsa_verify failed"
+
+
+class Witness(NamedTuple):
+    rows: List[Row]
+    keccak_table: KeccakTable
+    sign_verifications: List[SignVerifyChip]
+
+
+def verify_circuit(witness: Witness, MAX_TXS: int, MAX_CALLDATA_BYTES: int,
+                   keccak_randomness: int) -> None:
+    """Reference tx_circuit.py:253-291."""
+    rows = witness.rows
+    sign_verifications = witness.sign_verifications
+    keccak_table = witness.keccak_table
+    for tx_index in range(MAX_TXS):
+        assert_msg = f"Constraints failed for tx_index = {tx_index}"
+        tx_row_index = tx_index * int(Tag.TxSignHash)
+        caller_addr_index = tx_row_index + int(Tag.CallerAddress) - 1
+        tx_sign_hash_index = tx_row_index + int(Tag.TxSignHash) - 1
+
+        sign_verifications[tx_index].verify(keccak_table, keccak_randomness, assert_msg)
+
+        assert rows[caller_addr_index].value == sign_verifications[tx_index].address, assert_msg
+        sv_hash = sign_verifications[tx_index].msg_hash
+        assert rows[tx_sign_hash_index].value == sv_hash, assert_msg
+
+
+class Transaction(NamedTuple):
+    nonce: int
+    gas_price: int
+    gas: int
+    to: Optional[int]
+    value: int
+    data: bytes
+    sig_v: int
+    sig_r: int
+    sig_s: int
+
+    def encode_to(self) -> bytes:
+        if self.to is None:
+            return bytes(0)
+        return self.to.to_bytes(20, "big")
+
+
+def padding_tx(tx_id: int) -> List[Row]:
+    tags = [Tag.Nonce, Tag.Gas, Tag.GasPrice, Tag.CallerAddress, Tag.CalleeAddress,
+            Tag.IsCreate, Tag.Value, Tag.CallDataLength, Tag.CallDataGasCost,
+            Tag.TxInvalid, Tag.AccessListGasCost, Tag.TxSignHash]
+    return [Row(tx_id, int(t), 0, 0) for t in tags]
+
+
+def tx2witness(index: int, tx: Transaction, chain_id: int, keccak_randomness: int,
+               keccak_table: KeccakTable) -> Tuple[List[Row], SignVerifyChip]:
+    """Reference tx_circuit.py:315-397."""
+    tx_sign_data = rlp_encode(
+        [tx.nonce, tx.gas_price, tx.gas, tx.encode_to(), tx.value, tx.data, chain_id, 0, 0]
+    )
+    tx_sign_hash = keccak256(tx_sign_data)
+
+    sig_parity = tx.sig_v - 35 - chain_id * 2
+    pk = secp256k1.recover(
+        int.from_bytes(tx_sign_hash, "big"), sig_parity, tx.sig_r, tx.sig_s
+    )
+    assert pk is not None, "cannot recover public key from signature"
+    pk_bytes = secp256k1.pubkey_bytes(pk)
+    keccak_table.add(pk_bytes, keccak_randomness)
+    pk_hash = keccak256(pk_bytes)
+    addr = pk_hash[-20:]
+
+    sign_verification = SignVerifyChip.assign((tx.sig_r, tx.sig_s), pk, tx_sign_hash)
+
+    call_data_gas_cost = sum(
+        GAS_COST_TX_CALL_DATA_PER_ZERO_BYTE if b == 0
+        else GAS_COST_TX_CALL_DATA_PER_NON_ZERO_BYTE
+        for b in tx.data
+    )
+
+    tx_id = index + 1
+    rows: List[Row] = [
+        Row(tx_id, int(Tag.Nonce), 0, tx.nonce),
+        Row(tx_id, int(Tag.Gas), 0, tx.gas),
+        Row(tx_id, int(Tag.GasPrice), 0, tx.gas_price),
+        Row(tx_id, int(Tag.CallerAddress), 0, int.from_bytes(addr, "big")),
+        Row(tx_id, int(Tag.CalleeAddress), 0, tx.to or 0),
+        Row(tx_id, int(Tag.IsCreate), 0, 1 if tx.to is None else 0),
+        Row(tx_id, int(Tag.Value), 0, tx.value),
+        Row(tx_id, int(Tag.CallDataLength), 0, len(tx.data)),
+        Row(tx_id, int(Tag.CallDataGasCost), 0, call_data_gas_cost),
+        Row(tx_id, int(Tag.TxInvalid), 0, 0),
+        Row(tx_id, int(Tag.AccessListGasCost), 0, 0),
+        Row(tx_id, int(Tag.TxSignHash), 0, int.from_bytes(tx_sign_hash, "big")),
+    ]
+    for byte_index, byte in enumerate(tx.data):
+        rows.append(Row(tx_id, int(Tag.CallData), byte_index, byte))
+
+    return rows, sign_verification
+
+
+# Dummy signature/pubkey (reference tx_circuit.py:405-413): sk=1, msg=1
+DUMMY_SIGNATURE = (
+    0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798,
+    0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81799,
+)
+DUMMY_PUBLIC_KEY = (
+    0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798,
+    0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8,
+)
+DUMMY_MSG_HASH = 1
+
+
+def txs2witness(txs: List[Transaction], chain_id: int, MAX_TXS: int,
+                MAX_CALLDATA_BYTES: int, keccak_randomness: int) -> Witness:
+    """Reference tx_circuit.py:416-478."""
+    assert len(txs) <= MAX_TXS
+
+    keccak_table = KeccakTable()
+    sign_verifications: List[SignVerifyChip] = []
+    tx_fixed_rows: List[Row] = []
+    tx_dyn_rows: List[Row] = []
+    for index, tx in enumerate(txs):
+        tx_rows, sv = tx2witness(index, tx, chain_id, keccak_randomness, keccak_table)
+        sign_verifications.append(sv)
+        for row in tx_rows:
+            (tx_dyn_rows if row.tag == int(Tag.CallData) else tx_fixed_rows).append(row)
+
+    assert len(tx_dyn_rows) <= MAX_CALLDATA_BYTES
+
+    tx_padding_rows: List[Row] = []
+    for i in range(len(txs), MAX_TXS):
+        tx_padding_rows += padding_tx(i + 1)
+    rows = (
+        tx_fixed_rows
+        + tx_padding_rows
+        + tx_dyn_rows
+        + [Row(0, int(Tag.CallData), 0, 0)] * (MAX_CALLDATA_BYTES - len(tx_dyn_rows))
+    )
+
+    padding_sign_verification = SignVerifyChip(
+        bytes(32), 0, 0, DUMMY_SIGNATURE, DUMMY_PUBLIC_KEY, DUMMY_MSG_HASH
+    )
+    sign_verifications += [padding_sign_verification] * (MAX_TXS - len(txs))
+
+    return Witness(rows, keccak_table, sign_verifications)
+
+
+def sign_tx(sk: int, tx: Transaction, chain_id: int, k: int = None) -> Transaction:
+    """Test helper: produce a signed tx (the reference tests sign with real
+    keys via eth_keys)."""
+    tx_sign_data = rlp_encode(
+        [tx.nonce, tx.gas_price, tx.gas, tx.encode_to(), tx.value, tx.data, chain_id, 0, 0]
+    )
+    h = int.from_bytes(keccak256(tx_sign_data), "big")
+    if k is None:
+        k = (h ^ sk) % secp256k1.N or 1
+    v, r, s = secp256k1.sign(h, sk, k)
+    return tx._replace(sig_v=(v & 1) + 35 + chain_id * 2, sig_r=r, sig_s=s)
