@@ -27,7 +27,6 @@ from ..tables.schemas import (
     TxLogFieldTag,
     TxReceiptFieldTag,
 )
-from ..evm.opcode import Opcode, get_push_size, max_stack_pointer
 from ..utils.param import (
     GAS_COST_ACCESS_LIST_ADDRESS,
     GAS_COST_ACCESS_LIST_STORAGE,
@@ -38,6 +37,13 @@ from .rlc import RLC, linear_combine_bytes
 
 POW2 = 2**256
 EMPTY_CODE_HASH = int.from_bytes(keccak256(b""), "big")
+
+
+def _opcode_mod():
+    # deferred to avoid a circular import through the evm package __init__
+    from ..evm import opcode as m
+
+    return m
 
 WordInt = int  # 256-bit value as int
 
@@ -214,7 +220,7 @@ def init_is_code(code: bytearray) -> List[bool]:
     push_data_left = 0
     for b in code:
         is_code = push_data_left == 0
-        push_data_left = get_push_size(b) if is_code else push_data_left - 1
+        push_data_left = _opcode_mod().get_push_size(b) if is_code else push_data_left - 1
         is_codes.append(is_code)
     return is_codes
 
@@ -230,9 +236,10 @@ class Bytecode:
     def __getattr__(self, name: str):
         def method(*args) -> "Bytecode":
             try:
-                opcode = Opcode[name.rstrip("_").upper()]
+                opcode = _opcode_mod().Opcode[name.rstrip("_").upper()]
             except KeyError:
                 raise ValueError(f"Invalid opcode {name}")
+            Opcode = _opcode_mod().Opcode
             if Opcode.PUSH1 <= opcode <= Opcode.PUSH32:
                 assert len(args) == 1
                 self.push(args[0], int(opcode) - int(Opcode.PUSH0))
@@ -241,7 +248,7 @@ class Bytecode:
                 self.code.append(opcode)
                 self.is_code.append(True)
             else:
-                assert len(args) <= 1024 - max_stack_pointer(opcode)
+                assert len(args) <= 1024 - _opcode_mod().max_stack_pointer(opcode)
                 for arg in reversed(args):
                     self.push(arg)
                 self.code.append(opcode)
@@ -262,7 +269,7 @@ class Bytecode:
         else:
             raise NotImplementedError(f"Value of type {type(value)} is not yet supported")
         assert 0 <= len(value) <= n_bytes
-        self.code.append(int(Opcode.PUSH0) + n_bytes)
+        self.code.append(int(_opcode_mod().Opcode.PUSH0) + n_bytes)
         self.is_code.append(True)
         self.code.extend(bytes(value).rjust(n_bytes, b"\x00"))
         self.is_code.extend([False] * n_bytes)
