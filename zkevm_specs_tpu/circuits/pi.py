@@ -1,0 +1,701 @@
+"""Public-inputs circuit — commits all public data into one byte column with
+a running keccak-RLC, plus per-value linear combinations and calldata
+gas-cost accumulators (reference: src/zkevm_specs/pi_circuit.py:1-1077).
+
+Witness generation mirrors the reference byte-for-byte (including the test
+randomness pinned to 255, reference :834-836); the per-row gates — the
+10^4-10^5-row hot loop — are evaluated as one vectorized pass.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Set, Tuple, Union
+
+import numpy as np
+
+from ..dsl.cs import ConstraintSystem
+from ..dsl.value import Ctx, F, Word
+from ..ops.fr import P
+from ..ops.keccak import keccak256
+from ..tables.schemas import TxContextFieldTag as TxTag
+from ..utils.param import (
+    GAS_COST_TX_CALL_DATA_PER_NON_ZERO_BYTE,
+    GAS_COST_TX_CALL_DATA_PER_ZERO_BYTE,
+    N_BYTES_WORD,
+    PUBLIC_INPUTS_BLOCK_LEN as BLOCK_LEN,
+    PUBLIC_INPUTS_TX_LEN as TX_LEN,
+)
+
+N_BYTES_ONE = 1
+N_BYTES_U64 = 8
+N_BYTES_TX = 176
+N_BYTES_WITHDRAWAL = 56
+N_BYTES_BLOCK = 20 + 8 + 8 + 8 + 32 + 32 + 8 + 32 + 32 * 256
+N_BYTES_EXTRA_VALUE = N_BYTES_WORD * 3
+
+# test randomness pinned like the reference (pi_circuit.py:834-836)
+byte_pow_base = 255
+evm_rand = 255
+keccak_rand = 255
+
+
+def _inv(x: int) -> int:
+    return pow(x % P, P - 2, P) if x % P else 0
+
+
+def _lo_hi(v: int) -> Tuple[int, int]:
+    return v & ((1 << 128) - 1), v >> 128
+
+
+@dataclass
+class Block:
+    hash: int
+    parent_hash: int
+    uncle_hash: int
+    coinbase: int
+    state_root: int
+    tx_hash: int
+    receipt_hash: int
+    bloom: bytes
+    prev_randao: int
+    number: int
+    gas_limit: int
+    gas_used: int
+    time: int
+    extra: bytes
+    mix_digest: int
+    nonce: int
+    base_fee: int
+    withdrawals_root: int
+
+
+@dataclass
+class Transaction:
+    nonce: int
+    gas_price: int
+    gas: int
+    from_addr: int
+    to_addr: Optional[int]
+    value: int
+    data: bytes
+    tx_sign_hash: int
+
+    @classmethod
+    def default(cls):
+        return cls(0, 0, 0, 0, 0, 0, bytes(), 0)
+
+    def call_data_gas_cost(self) -> int:
+        return sum(
+            GAS_COST_TX_CALL_DATA_PER_ZERO_BYTE if b == 0
+            else GAS_COST_TX_CALL_DATA_PER_NON_ZERO_BYTE
+            for b in self.data
+        )
+
+    def tx_table_value_column(self) -> List[Tuple[int, bool]]:
+        """(value, is_word) per tx-table row for this tx."""
+        return [
+            (self.nonce, False),
+            (self.gas, False),
+            (self.gas_price, True),
+            (self.from_addr, False),
+            (self.to_addr or 0, False),
+            (1 if self.to_addr is None else 0, False),
+            (self.value, True),
+            (len(self.data), False),
+            (self.call_data_gas_cost(), False),
+            (self.tx_sign_hash, True),
+        ]
+
+    def tx_raw_bytes(self, tx_id: int) -> List[bytes]:
+        out: List[bytes] = []
+
+        def emit(value_lo: bytes, value_hi: bytes = b""):
+            out.append(tx_id.to_bytes(8, "big"))
+            out.append((0).to_bytes(8, "big"))
+            out.append(value_lo)
+            if value_hi != b"":
+                out.append(value_hi)
+
+        emit(self.nonce.to_bytes(8, "big"))
+        emit(self.gas.to_bytes(8, "big"))
+        lo, hi = _lo_hi(self.gas_price)
+        emit(lo.to_bytes(16, "big"), hi.to_bytes(16, "big"))
+        emit(self.from_addr.to_bytes(20, "big"))
+        emit((self.to_addr or 0).to_bytes(20, "big"))
+        emit((1 if self.to_addr is None else 0).to_bytes(8, "big"))
+        lo, hi = _lo_hi(self.value)
+        emit(lo.to_bytes(16, "big"), hi.to_bytes(16, "big"))
+        emit(len(self.data).to_bytes(8, "big"))
+        emit(self.call_data_gas_cost().to_bytes(8, "big"))
+        lo, hi = _lo_hi(self.tx_sign_hash)
+        emit(lo.to_bytes(16, "big"), hi.to_bytes(16, "big"))
+        return out
+
+
+@dataclass
+class Withdrawal:
+    id: int
+    validator_id: int
+    address: int
+    amount: int
+
+    @classmethod
+    def default(cls):
+        return cls(0, 0, 0, 0)
+
+    def withdrawal_raw_bytes(self, id: int) -> List[bytes]:
+        lo, hi = _lo_hi(self.address)
+        return [
+            id.to_bytes(8, "big"),
+            self.validator_id.to_bytes(8, "big"),
+            lo.to_bytes(16, "big"),
+            hi.to_bytes(16, "big"),
+            self.amount.to_bytes(8, "big"),
+        ]
+
+
+@dataclass
+class PublicData:
+    chain_id: int
+    block: Block
+    state_root_prev: int
+    block_hashes: List[int]
+    txs: List[Transaction]
+    withdrawals: List[Withdrawal]
+
+    def block_table_value_column(self) -> List[Tuple[int, bool]]:
+        col = [
+            (0, False),
+            (self.block.coinbase, False),
+            (self.block.gas_limit, False),
+            (self.block.number, False),
+            (self.block.time, False),
+            (self.block.prev_randao, True),
+            (self.block.base_fee, True),
+            (self.chain_id, False),
+            (self.block.withdrawals_root, True),
+        ]
+        assert len(self.block_hashes) == 256
+        col += [(h, True) for h in self.block_hashes]
+        return col
+
+    def block_table_raw_byte_values(self) -> List[bytes]:
+        out = [(0).to_bytes(1, "big"), self.block.coinbase.to_bytes(20, "big"),
+               self.block.gas_limit.to_bytes(8, "big"),
+               self.block.number.to_bytes(8, "big"),
+               self.block.time.to_bytes(8, "big")]
+        for v in (self.block.prev_randao, self.block.base_fee):
+            lo, hi = _lo_hi(v)
+            out += [lo.to_bytes(16, "big"), hi.to_bytes(16, "big")]
+        out.append(self.chain_id.to_bytes(8, "big"))
+        lo, hi = _lo_hi(self.block.withdrawals_root)
+        out += [lo.to_bytes(16, "big"), hi.to_bytes(16, "big")]
+        assert len(self.block_hashes) == 256
+        for h in self.block_hashes:
+            lo, hi = _lo_hi(h)
+            out += [lo.to_bytes(16, "big"), hi.to_bytes(16, "big")]
+        return out
+
+    def tx_table_raw_bytes(self, MAX_TXS: int) -> List[bytes]:
+        out = [(0).to_bytes(8, "big"), (0).to_bytes(8, "big"), (0).to_bytes(1, "big")]
+        assert 0 < len(self.txs) <= MAX_TXS
+        for i in range(MAX_TXS):
+            tx = self.txs[i] if i < len(self.txs) else Transaction.default()
+            out.extend(tx.tx_raw_bytes(i + 1))
+        return out
+
+    def tx_table_calldata_raw_bytes(self, MAX_CALLDATA_BYTES: int) -> List[bytes]:
+        out = []
+        for tx in self.txs:
+            for b in tx.data:
+                out.append(b.to_bytes(1, "big"))
+        assert len(out) <= MAX_CALLDATA_BYTES
+        out += [(0).to_bytes(1, "big")] * (MAX_CALLDATA_BYTES - len(out))
+        return out
+
+    def withdrawal_table_raw_bytes(self, MAX_WITHDRAWALS: int) -> List[bytes]:
+        out = []
+        assert 0 < len(self.withdrawals) <= MAX_WITHDRAWALS
+        for i in range(MAX_WITHDRAWALS):
+            wd = self.withdrawals[i] if i < len(self.withdrawals) else Withdrawal.default()
+            out.extend(wd.withdrawal_raw_bytes(i))
+        return out
+
+    def tx_table_tx_cols(self, MAX_TXS: int):
+        tx_id_col, index_col, value_col = [], [], []
+        for i in range(MAX_TXS):
+            tx = self.txs[i] if i < len(self.txs) else Transaction.default()
+            tx_id_col += [i + 1] * TX_LEN
+            index_col += [0] * TX_LEN
+            value_col += tx.tx_table_value_column()
+        return tx_id_col, index_col, value_col
+
+    def tx_table_tx_calldata_cols(self, MAX_CALLDATA_BYTES: int):
+        tx_id_col, index_col, value_col, gas_cost_col, is_final_col = [], [], [], [], []
+        for i, tx in enumerate(self.txs):
+            gas_cost_acc = 0
+            for byte_index, b in enumerate(tx.data):
+                tx_id_col.append(i + 1)
+                index_col.append(byte_index)
+                value_col.append((b, False))
+                gas_cost_acc += (
+                    GAS_COST_TX_CALL_DATA_PER_ZERO_BYTE if b == 0
+                    else GAS_COST_TX_CALL_DATA_PER_NON_ZERO_BYTE
+                )
+                gas_cost_col.append(gas_cost_acc)
+                is_final_col.append(1 if byte_index == len(tx.data) - 1 else 0)
+        assert len(value_col) <= MAX_CALLDATA_BYTES
+        pad = MAX_CALLDATA_BYTES - len(value_col)
+        tx_id_col += [0] * pad
+        index_col += [0] * pad
+        value_col += [(0, False)] * pad
+        gas_cost_col += [0] * pad
+        is_final_col += [0] * pad
+        return tx_id_col, index_col, value_col, gas_cost_col, is_final_col
+
+    def tx_table_cols(self, MAX_TXS: int, MAX_CALLDATA_BYTES: int):
+        f = self.tx_table_tx_cols(MAX_TXS)
+        d = self.tx_table_tx_calldata_cols(MAX_CALLDATA_BYTES)
+        return (
+            [0] + f[0] + d[0],
+            [0] + f[1] + d[1],
+            [(0, False)] + f[2] + d[2],
+        )
+
+    def withdrawal_table_cols(self, MAX_WITHDRAWALS: int):
+        ids, vids, addrs, amounts = [], [], [], []
+        for i in range(MAX_WITHDRAWALS):
+            wd = self.withdrawals[i] if i < len(self.withdrawals) else Withdrawal.default()
+            ids.append(wd.id)
+            vids.append(wd.validator_id)
+            addrs.append(wd.address)
+            amounts.append(wd.amount)
+        return ids, vids, addrs, amounts
+
+
+@dataclass
+class PublicInputs:
+    pi_keccak: int
+    block_hash: int
+    state_root: int
+    state_root_prev: int
+
+
+@dataclass
+class Witness:
+    rows: List[dict]
+    public_inputs: PublicInputs
+    calldata_gas_cost_table: Set[Tuple[int, int, int]]
+    keccak_table: set
+    block_table: List[Tuple[int, bool]]
+    tx_table: List[Tuple[int, int, int, Tuple[int, bool]]]
+    withdrawal_table: List[Tuple[int, int, int, int]]
+    circuit_len: int
+    copy_constrains: List[bytes]
+
+
+def public_data2witness(public_data: PublicData, MAX_TXS: int,
+                        MAX_CALLDATA_BYTES: int, MAX_WITHDRAWALS: int) -> Witness:
+    """Reference pi_circuit.py:839-1073 — identical byte layout and row
+    assignment."""
+    from ..witness.rlc import RLC
+
+    rpi_byte_values: List[bytes] = []
+    block_table_value_col = public_data.block_table_value_column()
+    rpi_byte_values.extend(public_data.block_table_raw_byte_values())
+
+    for v in (public_data.block.hash, public_data.block.state_root,
+              public_data.state_root_prev):
+        lo, hi = _lo_hi(v)
+        rpi_byte_values.append(lo.to_bytes(16, "big"))
+        rpi_byte_values.append(hi.to_bytes(16, "big"))
+    assert _flatten_len(rpi_byte_values) == N_BYTES_ONE + N_BYTES_BLOCK + N_BYTES_EXTRA_VALUE
+
+    tx_table_cols = public_data.tx_table_cols(MAX_TXS, MAX_CALLDATA_BYTES)
+    tx_table_tx_calldata = public_data.tx_table_tx_calldata_cols(MAX_CALLDATA_BYTES)
+    rpi_byte_values.extend(public_data.tx_table_raw_bytes(MAX_TXS))
+
+    circuit_len = (
+        N_BYTES_ONE + N_BYTES_BLOCK + N_BYTES_EXTRA_VALUE
+        + N_BYTES_U64 * TX_LEN * MAX_TXS + N_BYTES_U64
+        + N_BYTES_U64 * TX_LEN * MAX_TXS + N_BYTES_U64
+        + N_BYTES_TX * MAX_TXS + N_BYTES_ONE
+    )
+    assert _flatten_len(rpi_byte_values) == circuit_len
+
+    rpi_byte_values.extend(public_data.tx_table_calldata_raw_bytes(MAX_CALLDATA_BYTES))
+    circuit_len += MAX_CALLDATA_BYTES
+    rpi_byte_values.extend(public_data.withdrawal_table_raw_bytes(MAX_WITHDRAWALS))
+    circuit_len += N_BYTES_WITHDRAWAL * MAX_WITHDRAWALS
+    assert _flatten_len(rpi_byte_values) == circuit_len
+
+    wd_cols = public_data.withdrawal_table_cols(MAX_WITHDRAWALS)
+
+    keccak_table = {(0, 0, 0, 0)}
+    block_table: List[Tuple[int, bool]] = []
+    tx_table: List[tuple] = []
+    withdrawal_table: List[tuple] = []
+    rows: List[dict] = []
+    calldata_gas_cost_table = {(0, 0, 0)}
+
+    i = circuit_len - 1
+    keccakrlc_prev = 0
+    value_lc_prev = 0
+    rpi_bytes: List[int] = []
+    tx_table_len = TX_LEN * MAX_TXS + 1
+    tx_and_calldata_len = tx_table_len + MAX_CALLDATA_BYTES
+
+    for value in reversed(rpi_byte_values):
+        for byte_index, byte in enumerate(value):
+            rpi_bytes.append(byte)
+            q_bytes_last = 1 if len(rpi_bytes) == 1 else 0
+            q_rpi_keccak_lookup = 1 if i == 0 else 0
+            q_rpi_value_start = 1 if byte_index == 0 else 0
+
+            if len(rpi_bytes) == 1:
+                keccakrlc = byte
+            else:
+                keccakrlc = (keccakrlc_prev * keccak_rand + byte) % P
+            keccakrlc_prev = keccakrlc
+
+            if byte_index == 0:
+                value_lc = byte
+            else:
+                value_lc = (value_lc_prev * byte_pow_base + byte) % P
+            value_lc_prev = value_lc
+
+            if i < BLOCK_LEN // 2 + 1:
+                block_table.append(block_table_value_col[i])
+            if i == BLOCK_LEN // 2 + 1:
+                block_table.append((public_data.block.hash, True))
+            if i == BLOCK_LEN // 2 + 2:
+                block_table.append((public_data.block.state_root, True))
+            if i == BLOCK_LEN // 2 + 3:
+                block_table.append((public_data.state_root_prev, True))
+
+            q_tx_table = q_tx_calldata = q_tx_calldata_start = q_withdrawal_table = 0
+            tx_id_inv = tx_value_lo_inv = tx_id_diff_inv = 0
+            calldata_gas_cost = is_final = 0
+            tx_row = (0, 0, 0, (0, False))
+            if i < tx_and_calldata_len:
+                tx_id = tx_table_cols[0][i]
+                index = tx_table_cols[1][i]
+                val, is_word = tx_table_cols[2][i]
+                tag = int(TxTag.CallData)
+                if i == 0:
+                    tag = 0
+                elif i < tx_table_len:
+                    tag = i % TX_LEN
+                    if i % TX_LEN == 0:
+                        tag = TX_LEN
+                val_lo = val & ((1 << 128) - 1) if is_word else val
+                if i < tx_table_len:
+                    q_tx_table = 1
+                    tx_id_inv = _inv(tag - int(TxTag.CallDataLength))
+                    tx_value_lo_inv = _inv(val_lo)
+                if i >= tx_table_len:
+                    q_tx_calldata = 1
+                    tx_id_inv = _inv(tx_id)
+                    tx_value_lo_inv = _inv(val_lo)
+                    tx_id_next = 0
+                    if i < tx_and_calldata_len - 1:
+                        tx_id_next = tx_table_cols[0][i + 1]
+                    tx_id_diff_inv = _inv(tx_id_next - tx_id)
+                    calldata_gas_cost = tx_table_tx_calldata[3][i - tx_table_len]
+                    is_final = tx_table_tx_calldata[4][i - tx_table_len]
+                    calldata_gas_cost_table.add((tx_id, is_final, calldata_gas_cost))
+                if i == tx_table_len:
+                    q_tx_calldata_start = 1
+                tx_row = (tx_id, tag, index, (val, is_word))
+                tx_table.append(tx_row)
+
+            wd_row = (0, 0, 0, 0)
+            if tx_and_calldata_len <= i < tx_and_calldata_len + MAX_WITHDRAWALS:
+                j = i - tx_and_calldata_len
+                wd_row = (wd_cols[0][j], wd_cols[1][j], wd_cols[2][j], wd_cols[3][j])
+                q_withdrawal_table = 1
+                withdrawal_table.append(wd_row)
+
+            rows.append(
+                {
+                    "q_bytes_last": q_bytes_last,
+                    "q_tx_table": q_tx_table,
+                    "q_tx_calldata": q_tx_calldata,
+                    "q_tx_calldata_start": q_tx_calldata_start,
+                    "q_rpi_keccak_lookup": q_rpi_keccak_lookup,
+                    "q_rpi_value_start": q_rpi_value_start,
+                    "tx_id_inv": tx_id_inv,
+                    "tx_value_lo_inv": tx_value_lo_inv,
+                    "tx_id_diff_inv": tx_id_diff_inv,
+                    "calldata_gas_cost": calldata_gas_cost,
+                    "is_final": is_final,
+                    "q_withdrawal_table": q_withdrawal_table,
+                    "rpi_bytes": byte,
+                    "rpi_bytes_keccakrlc": keccakrlc,
+                    "rpi_value_lc": value_lc,
+                    "rpi_digest": 0,
+                    "q_rpi_byte_enable": 1,
+                    "tx_id": tx_row[0],
+                    "tx_tag": tx_row[1],
+                    "tx_index": tx_row[2],
+                    "tx_value_lo": tx_row[3][0] & ((1 << 128) - 1) if tx_row[3][1] else tx_row[3][0],
+                    "wd_id": wd_row[0],
+                    "wd_validator_id": wd_row[1],
+                    "wd_address": wd_row[2],
+                    "wd_amount": wd_row[3],
+                }
+            )
+            i -= 1
+    rows.reverse()
+    output_digest = int.from_bytes(keccak256(bytes(rpi_bytes)), "big")
+    rows[0]["rpi_digest"] = output_digest
+
+    from ..witness.rlc import RLC as _RLC
+
+    keccak_table.add(
+        (
+            1,
+            _RLC(bytes(reversed(bytes(rpi_bytes))), keccak_rand,
+                 n_bytes=len(rpi_bytes)).expr(),
+            len(rpi_bytes),
+            output_digest,
+        )
+    )
+
+    block_table.reverse()
+    tx_table.reverse()
+    withdrawal_table.reverse()
+    return Witness(
+        rows,
+        PublicInputs(output_digest, public_data.block.hash,
+                     public_data.block.state_root, public_data.state_root_prev),
+        calldata_gas_cost_table,
+        keccak_table,
+        block_table,
+        tx_table,
+        withdrawal_table,
+        circuit_len,
+        list(rpi_byte_values),
+    )
+
+
+def _flatten_len(vals: List[bytes]) -> int:
+    return sum(len(v) for v in vals)
+
+
+# ---------------------------------------------------------------------------
+# verification
+# ---------------------------------------------------------------------------
+
+def verify_circuit(witness: Witness, MAX_TXS: int, MAX_CALLDATA_BYTES: int,
+                   MAX_WITHDRAWALS: int, success: bool = True, xp=np) -> None:
+    try:
+        _verify(witness, MAX_TXS, MAX_CALLDATA_BYTES, MAX_WITHDRAWALS, xp)
+    except AssertionError:
+        if success:
+            raise
+        return
+    assert success, "expected pi circuit to fail, but it passed"
+
+
+def _verify(witness: Witness, MAX_TXS: int, MAX_CALLDATA_BYTES: int,
+            MAX_WITHDRAWALS: int, xp) -> None:
+    rows = witness.rows
+    copy = list(witness.copy_constrains)
+    pi = witness.public_inputs
+
+    def pop_int() -> int:
+        return int.from_bytes(copy.pop(0), "big")
+
+    # digest copy constraint (reference :363)
+    assert rows[0]["rpi_digest"] == pi.pi_keccak, "digest mismatch"
+
+    # block table copy constraints (reference :366-377)
+    for i in range(BLOCK_LEN // 2 + 1):
+        value, is_word = witness.block_table[i]
+        lo = pop_int()
+        hi = pop_int() if is_word else 0
+        v_lo, v_hi = _lo_hi(value) if is_word else (value, 0)
+        assert v_lo == lo and v_hi == hi, f"block table copy mismatch at {i}"
+
+    for v in (pi.block_hash, pi.state_root, pi.state_root_prev):
+        lo, hi = pop_int(), pop_int()
+        assert _lo_hi(v) == (lo, hi), "extra field copy mismatch"
+
+    # tx table copy constraints (reference :400-432)
+    tx_len = TX_LEN * MAX_TXS + 1
+    for i in range(tx_len):
+        tx_id, tag, index, (value, is_word) = witness.tx_table[i]
+        assert tx_id == pop_int(), f"tx id copy mismatch at {i}"
+        assert index == pop_int(), f"tx index copy mismatch at {i}"
+        lo = pop_int()
+        hi = pop_int() if is_word else 0
+        v_lo, v_hi = _lo_hi(value) if is_word else (value, 0)
+        assert v_lo == lo and v_hi == hi, f"tx value copy mismatch at {i}"
+    for i in range(MAX_CALLDATA_BYTES):
+        _, _, _, (value, is_word) = witness.tx_table[tx_len + i]
+        lo = pop_int()
+        hi = pop_int() if is_word else 0
+        v_lo, v_hi = _lo_hi(value) if is_word else (value, 0)
+        assert v_lo == lo and v_hi == hi, f"calldata copy mismatch at {i}"
+
+    # withdrawal table copy constraints (reference :435-452)
+    for i in range(MAX_WITHDRAWALS):
+        wd_id, validator_id, address, amount = witness.withdrawal_table[i]
+        assert wd_id == pop_int(), f"wd id copy mismatch at {i}"
+        assert validator_id == pop_int(), f"wd validator copy mismatch at {i}"
+        lo, hi = pop_int(), pop_int()
+        assert _lo_hi(address) == (lo, hi), f"wd address copy mismatch at {i}"
+        assert amount == pop_int(), f"wd amount copy mismatch at {i}"
+
+    # vectorized per-row gates (reference check_row :150-322)
+    n = len(rows)
+    ctx = Ctx(xp, n, "eager")
+    cs = ConstraintSystem(ctx)
+
+    names_small = [
+        "q_bytes_last", "q_tx_table", "q_tx_calldata", "q_tx_calldata_start",
+        "q_rpi_keccak_lookup", "q_rpi_value_start", "calldata_gas_cost",
+        "is_final", "q_withdrawal_table", "rpi_bytes", "q_rpi_byte_enable",
+        "tx_id", "tx_tag", "tx_index", "wd_id", "wd_validator_id", "wd_amount",
+    ]
+    c = {k: F.from_ints(ctx, [r[k] for r in rows], 64) for k in names_small}
+    for k in ("tx_id_inv", "tx_value_lo_inv", "tx_id_diff_inv",
+              "rpi_bytes_keccakrlc", "rpi_value_lc", "tx_value_lo"):
+        c[k] = F.from_ints(ctx, [r[k] for r in rows], 254)
+    idx1 = (xp.arange(n) + 1) % n
+    nx = {k: v.gather(idx1) for k, v in c.items()}
+
+    def check(mask, ok, msg):
+        cs.check(ok | ~mask, lambda: msg)
+
+    en = ~c["q_rpi_byte_enable"].is_zero_mask()
+    last = ~c["q_bytes_last"].is_zero_mask()
+    # gates 1+2: keccak rlc chain
+    check(en & last, c["rpi_bytes_keccakrlc"].eq_mask(c["rpi_bytes"]),
+          "keccakrlc last mismatch")
+    check(
+        en & ~last,
+        c["rpi_bytes_keccakrlc"].eq_mask(
+            nx["rpi_bytes_keccakrlc"] * keccak_rand + c["rpi_bytes"]
+        ),
+        "keccakrlc chain mismatch",
+    )
+    # gates 3+4: value lc chain
+    start = ~c["q_rpi_value_start"].is_zero_mask()
+    check(
+        en & ~start,
+        c["rpi_value_lc"].eq_mask(nx["rpi_value_lc"] * byte_pow_base + c["rpi_bytes"]),
+        "value lc chain mismatch",
+    )
+    check(en & start, c["rpi_value_lc"].eq_mask(c["rpi_bytes"]), "value lc start mismatch")
+
+    # gate 5: keccak lookup on row 0 (host-side set membership)
+    from ..witness.rlc import RLC as _RLC
+
+    r0 = rows[0]
+    if r0["q_rpi_keccak_lookup"]:
+        key = (1, r0["rpi_bytes_keccakrlc"], witness.circuit_len, r0["rpi_digest"])
+        assert key in witness.keccak_table, "rpi digest keccak lookup failed"
+
+    one = F.const(ctx, 1)
+    # calldata region constraints (reference :207-293)
+    m_cd = ~c["q_tx_calldata"].is_zero_mask()
+    tx_id = c["tx_id"]
+    tx_id_next = nx["tx_id"]
+    check(m_cd, (tx_id * (one - c["tx_id_inv"] * tx_id)).is_zero_mask(),
+          "tx_id_inv malformed")
+    check(m_cd, (c["tx_value_lo"] * (one - c["tx_value_lo_inv"] * c["tx_value_lo"])).is_zero_mask(),
+          "tx_value_lo_inv malformed")
+    diff = tx_id_next - tx_id
+    check(m_cd, (diff * (one - c["tx_id_diff_inv"] * diff)).is_zero_mask(),
+          "tx_id_diff_inv malformed")
+    is_tx_id_nonzero = tx_id * c["tx_id_inv"]
+    is_tx_id_next_nonzero = tx_id_next * nx["tx_id_inv"]
+    is_tx_id_zero = one - is_tx_id_nonzero
+    is_tx_id_next_zero = one - is_tx_id_next_nonzero
+    tx_id_not_equal_to_next = diff * c["tx_id_diff_inv"]
+    tx_id_equal_to_next = one - tx_id_not_equal_to_next
+    is_byte_nonzero = c["tx_value_lo"] * c["tx_value_lo_inv"]
+    is_byte_next_nonzero = nx["tx_value_lo"] * nx["tx_value_lo_inv"]
+    is_byte_zero = one - is_byte_nonzero
+    is_byte_next_zero = one - is_byte_next_nonzero
+
+    for expr, msg in (
+        (is_tx_id_zero * tx_id, "default row tx_id"),
+        (is_tx_id_zero * tx_id_next, "default row tx_id next"),
+        (is_tx_id_zero * c["is_final"], "default row is_final"),
+        (is_tx_id_zero * c["calldata_gas_cost"], "default row gas cost"),
+    ):
+        check(m_cd, expr.is_zero_mask(), msg)
+
+    gas_cost = (
+        is_byte_nonzero * GAS_COST_TX_CALL_DATA_PER_NON_ZERO_BYTE
+        + is_byte_zero * GAS_COST_TX_CALL_DATA_PER_ZERO_BYTE
+    )
+    gas_cost_next = (
+        is_byte_next_nonzero * GAS_COST_TX_CALL_DATA_PER_NON_ZERO_BYTE
+        + is_byte_next_zero * GAS_COST_TX_CALL_DATA_PER_ZERO_BYTE
+    )
+
+    # fixed u16 lookup: value < 2^16 (computed predicate)
+    u16_val = tx_id_not_equal_to_next * is_tx_id_next_nonzero * (diff - one)
+    check(m_cd, u16_val.le_bits_mask(16), "tx id diff exceeds u16")
+
+    constraints = [
+        (tx_id_equal_to_next * (nx["tx_index"] - c["tx_index"] - one),
+         "calldata index within tx"),
+        (diff * nx["tx_index"], "calldata index of next tx"),
+        (tx_id_equal_to_next * (nx["calldata_gas_cost"] - c["calldata_gas_cost"] - gas_cost_next),
+         "gas acc within tx"),
+        (is_tx_id_next_nonzero * diff * (nx["calldata_gas_cost"] - gas_cost_next),
+         "gas acc of next tx"),
+        (is_tx_id_next_zero * nx["calldata_gas_cost"], "gas acc of last tx"),
+        (tx_id_equal_to_next * c["is_final"], "is_final within tx"),
+        (diff * (c["is_final"] - one), "is_final at tx end"),
+    ]
+    for expr, msg in constraints:
+        check(m_cd, (is_tx_id_nonzero * expr).is_zero_mask(), msg)
+
+    m_cd_start = m_cd & ~c["q_tx_calldata_start"].is_zero_mask()
+    check(m_cd_start, (is_tx_id_nonzero * c["tx_index"]).is_zero_mask(),
+          "first calldata index")
+    check(m_cd_start, (is_tx_id_nonzero * (c["calldata_gas_cost"] - gas_cost)).is_zero_mask(),
+          "first calldata gas cost")
+
+    # tx-table region (reference :296-314)
+    m_tx = ~c["q_tx_table"].is_zero_mask()
+    row_is_cdl = c["tx_tag"] - int(TxTag.CallDataLength)
+    check(m_tx, (row_is_cdl * (one - c["tx_id_inv"] * row_is_cdl)).is_zero_mask(),
+          "cdl inv malformed")
+    check(m_tx, (c["tx_value_lo"] * (one - c["tx_value_lo_inv"] * c["tx_value_lo"])).is_zero_mask(),
+          "tx table value inv malformed")
+    is_cdl_row = one - row_is_cdl * c["tx_id_inv"]
+    is_cdl_nonzero = c["tx_value_lo"] * c["tx_value_lo_inv"]
+    is_cdl_zero = one - is_cdl_nonzero
+    calldata_cost = nx["tx_value_lo"]
+    check(m_tx, (is_cdl_row * is_cdl_zero * calldata_cost).is_zero_mask(),
+          "zero calldata length with nonzero cost")
+    # gas-cost accumulator lookup (host-side set, per row under mask)
+    q_cond = np.asarray((is_cdl_row * is_cdl_nonzero).limbs[..., 0] == 1)
+    m_tx_np = np.asarray(~c["q_tx_table"].is_zero_mask())
+    tx_ids_np = [r["tx_id"] for r in rows]
+    costs_np = [rows[(j + 1) % n]["tx_value_lo"] for j in range(n)]
+    for j in range(n):
+        if m_tx_np[j] and q_cond[j]:
+            key = (tx_ids_np[j], 1, costs_np[j])
+            assert key in witness.calldata_gas_cost_table, (
+                f"calldata gas acc lookup failed at row {j}: {key}"
+            )
+
+    # withdrawal region (reference :316-320)
+    m_wd = ~c["q_withdrawal_table"].is_zero_mask()
+    m_wd_next = ~nx["q_withdrawal_table"].is_zero_mask()
+    check(m_wd & m_wd_next, nx["wd_id"].eq_mask(c["wd_id"] + 1),
+          "withdrawal id not incremented")
+    check(m_wd, ~c["wd_amount"].is_zero_mask(), "withdrawal amount is zero")
+
+    fail = np.asarray(cs.fail)
+    if fail.any():
+        j = int(np.argmax(fail))
+        raise AssertionError(f"pi row {j}: {cs.first_failure_message()[j]}")

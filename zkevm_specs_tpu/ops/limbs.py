@@ -45,9 +45,22 @@ def int_to_limbs(value: int, n_limbs: int) -> np.ndarray:
 
 
 def ints_to_limbs(values, n_limbs: int) -> np.ndarray:
-    """Convert a sequence of Python ints to a [len, n_limbs] limb array."""
-    out = np.empty((len(values), n_limbs), dtype=DTYPE)
-    for i, v in enumerate(values):
+    """Convert a sequence of Python ints to a [len, n_limbs] limb array.
+
+    Fast path: when every value fits in u64 (the common case for witness
+    columns) the split is fully vectorized."""
+    vals = list(values)
+    if all(0 <= v < (1 << 63) for v in map(int, vals)):
+        arr = np.asarray(vals, dtype=np.uint64)
+        out = np.zeros((len(vals), n_limbs), dtype=DTYPE)
+        for k in range(min(4, n_limbs)):
+            out[:, k] = ((arr >> np.uint64(LIMB_BITS * k)) & np.uint64(LIMB_MASK)).astype(DTYPE)
+        assert n_limbs >= 4 or not (arr >> np.uint64(LIMB_BITS * n_limbs)).any(), (
+            f"values need more than {n_limbs} limbs"
+        )
+        return out
+    out = np.empty((len(vals), n_limbs), dtype=DTYPE)
+    for i, v in enumerate(vals):
         out[i] = int_to_limbs(int(v), n_limbs)
     return out
 
