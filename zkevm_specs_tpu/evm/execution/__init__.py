@@ -72,6 +72,7 @@ from .mul_div_mod import mul_div_mod
 from .mulmod import mulmod
 from .not_ import not_opcode
 from .pop import pop
+from .precompiles import dataCopy, ecAdd, ecMul, ecPairing, ecRecover
 from .push import push
 from .sar import sar
 from .sdiv_smod import sdiv_smod
@@ -155,4 +156,11 @@ EXECUTION_STATE_IMPL: Dict[ExecutionState, Callable] = {
     ExecutionState.ErrorReturnDataOutOfBound: error_return_data_out_of_bound,
     ExecutionState.ErrorOutOfGasCREATE: error_oog_create,
     ExecutionState.ErrorOutOfGasPrecompile: error_oog_precompile,
+    # precompiles (SHA256/RIPEMD160/BIGMODEXP/BLAKE2F unimplemented as in the
+    # reference, execution/__init__.py:160-168)
+    ExecutionState.ECRECOVER: ecRecover,
+    ExecutionState.DATACOPY: dataCopy,
+    ExecutionState.BN254_ADD: ecAdd,
+    ExecutionState.BN254_PAIRING: ecPairing,
+    ExecutionState.BN254_SCALAR_MUL: ecMul,
 }
