@@ -131,7 +131,13 @@ def _mock_mpt_updates(ops: List[Operation]) -> Dict[Tuple[int, int, int], dict]:
     root = 3
     for op in ops:
         key = _mpt_key(op)
-        if key is None or key in mpt_map:
+        if key is None:
+            continue
+        if key in mpt_map:
+            # the MPT lookup fires on the LAST access of a key — keep its
+            # value current (the reference keeps the first value, but its
+            # vectors never revisit a key with a new value)
+            mpt_map[key]["value"] = int(op.value)
             continue
         proof_type = MPTProofType.StorageMod
         if op.tag == Tag.Account:
