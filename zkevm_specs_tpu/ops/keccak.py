@@ -65,7 +65,19 @@ def keccak_f(state: List[int]) -> List[int]:
 
 
 def keccak256(data: bytes) -> bytes:
-    """Keccak-256 (the Ethereum hash; pad 0x01, NOT sha3's 0x06)."""
+    """Keccak-256 (the Ethereum hash; pad 0x01, NOT sha3's 0x06).
+
+    Dispatches to the native C implementation when available (witness
+    generation hashes on every bytecode/tx; see runtime/native.py)."""
+    from ..runtime.native import keccak256_native
+
+    native = keccak256_native(data)
+    if native is not None:
+        return native
+    return _keccak256_py(data)
+
+
+def _keccak256_py(data: bytes) -> bytes:
     rate = 136  # bytes, for capacity 512
     # pad10*1 with domain byte 0x01
     padded = bytearray(data)
