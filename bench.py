@@ -14,8 +14,143 @@ import time
 from pathlib import Path
 
 
+def bench_state_circuit():
+    """BASELINE config 2: rw-table sorted multiset + consistency kernel."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from zkevm_specs_tpu.circuits.state import (
+        MemoryOp, StackOp, StartOp, assign_state_circuit, mpt_table_from_ops,
+        StateRows, check_state_rows,
+    )
+    from zkevm_specs_tpu.dsl.value import Ctx, F, Word
+    from zkevm_specs_tpu.tables.engine import Table
+    from zkevm_specs_tpu.tables.schemas import MPT_SCHEMA, RW
+
+    n_rows = int(os.environ.get("BENCH_STEPS", "8192"))
+    ops = [StartOp(rw_counter=1, rw=RW.Read, lexicographic_ordering_selector=0)]
+    rwc = 1
+    for i in range((n_rows - 1) // 2):
+        ops.append(MemoryOp(rw_counter=rwc, rw=RW.Write, call_id=1,
+                            mem_addr=i, value=i % 256))
+        rwc += 1
+    for i in range(n_rows - 1 - (n_rows - 1) // 2):
+        ops.append(StackOp(rw_counter=rwc, rw=RW.Write, call_id=1,
+                           stack_ptr=1023, value=i))
+        rwc += 1
+    rows = assign_state_circuit(ops)
+    mpt_rows = mpt_table_from_ops(ops)
+
+    ctx_np = Ctx(np, len(rows), "eager")
+    state_np = StateRows(ctx_np, rows)
+    mpt_np = Table.from_rows(ctx_np, MPT_SCHEMA, mpt_rows)
+    mpt_np.index_for(tuple(MPT_SCHEMA.columns))
+
+    cols = {name: getattr(state_np, name).limbs for name in StateRows._BITS}
+    for name in StateRows._WORDS:
+        w = getattr(state_np, name)
+        cols[name + "_lo"] = w.lo.limbs
+        cols[name + "_hi"] = w.hi.limbs
+    bits = {name: getattr(state_np, name).bits for name in StateRows._BITS}
+    wbits = {name: (getattr(state_np, name).lo.bits, getattr(state_np, name).hi.bits)
+             for name in StateRows._WORDS}
+    subset = tuple(MPT_SCHEMA.columns)
+    mpt_tree = {
+        "cols": {c: ({"lo": v.lo.limbs, "hi": v.hi.limbs} if hasattr(v, "lo")
+                     else {"f": v.limbs}) for c, v in mpt_np.data.items()},
+        "fps": mpt_np._indexes[subset][0],
+        "order": mpt_np._indexes[subset][1],
+    }
+    mpt_bits = {c: ((v.lo.bits, v.hi.bits) if hasattr(v, "lo") else v.bits)
+                for c, v in mpt_np.data.items()}
+    n = len(rows)
+
+    def fn(cols, mpt_tree):
+        jctx = Ctx(jnp, n, "jit")
+        st = object.__new__(StateRows)
+        st.ctx = jctx
+        st.n = n
+        for name in StateRows._BITS:
+            setattr(st, name, F(jctx, cols[name], bits[name]))
+        for name in StateRows._WORDS:
+            setattr(st, name, Word(F(jctx, cols[name + "_lo"], wbits[name][0]),
+                                   F(jctx, cols[name + "_hi"], wbits[name][1])))
+        data = {}
+        for c, arrs in mpt_tree["cols"].items():
+            if "lo" in arrs:
+                data[c] = Word(F(jctx, arrs["lo"], mpt_bits[c][0]),
+                               F(jctx, arrs["hi"], mpt_bits[c][1]))
+            else:
+                data[c] = F(jctx, arrs["f"], mpt_bits[c])
+        mpt = Table(jctx, MPT_SCHEMA, data, mpt_np.n_rows)
+        mpt._indexes[subset] = (mpt_tree["fps"], mpt_tree["order"])
+        return check_state_rows(jctx, st, mpt).fail
+
+    jfn = jax.jit(fn)
+    args = jax.device_put((cols, mpt_tree))
+    out = jfn(*args)
+    out.block_until_ready()
+    n_iters = int(os.environ.get("BENCH_ITERS", "20"))
+    t0 = time.time()
+    for _ in range(n_iters):
+        out = jfn(*args)
+    out.block_until_ready()
+    dt = (time.time() - t0) / n_iters
+    assert not np.asarray(out).any()
+    return {
+        "metric": "state_circuit_rows_per_s_chip",
+        "value": round(n / dt, 1),
+        "unit": "rows/s",
+        "vs_baseline": 1.0,
+    }
+
+
+def bench_super_circuit():
+    """BASELINE config 5: full block witness wall-clock (spec mode)."""
+    from zkevm_specs_tpu.circuits.super_circuit import verify_super_circuit
+    from zkevm_specs_tpu.witness.tracer import trace_block
+    from zkevm_specs_tpu.witness.typing import Block, Bytecode, Transaction
+
+    n_txs = int(os.environ.get("BENCH_TXS", "4"))
+    block = Block(base_fee=int(1e9))
+    txs = []
+    for i in range(n_txs):
+        bytecode = Bytecode()
+        for j in range(40):
+            bytecode.push1(j).push1(j + 1).add().pop()
+        bytecode.stop()
+        txs.append(
+            (Transaction(id=i + 1, gas=100000, gas_price=int(2e9),
+                         caller_address=0xFE, callee_address=0xFF + i), bytecode)
+        )
+    t0 = time.time()
+    witness = trace_block(block, txs)
+    t_trace = time.time() - t0
+    total_gas = sum(tx.gas for tx, _ in txs)
+    t0 = time.time()
+    verify_super_circuit(witness)
+    dt = time.time() - t0
+    return {
+        "metric": "super_circuit_gas_per_s",
+        "value": round(total_gas / dt, 1),
+        "unit": "gas/s",
+        "vs_baseline": 1.0,
+        "detail": {"verify_s": round(dt, 3), "trace_s": round(t_trace, 3),
+                   "steps": len(witness.steps)},
+    }
+
+
 def main():
     import numpy as np
+
+    mode = os.environ.get("BENCH_MODE", "evm")
+    if mode == "state":
+        print(json.dumps(bench_state_circuit()))
+        return
+    if mode == "super":
+        print(json.dumps(bench_super_circuit()))
+        return
 
     t_setup = time.time()
     import jax
