@@ -141,6 +141,50 @@ def bench_super_circuit():
     }
 
 
+def bench_fr_mul():
+    """Fr modular-mul kernel: Pallas (limb-major VMEM-resident) vs the XLA
+    elementwise path; reports the faster one in field muls/s/chip."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from zkevm_specs_tpu.ops import fr
+    from zkevm_specs_tpu.ops.pallas_fr import fr_mul_pallas
+
+    n = int(os.environ.get("BENCH_STEPS", str(1 << 16)))
+    rng = np.random.RandomState(0)
+    vals_a = [int.from_bytes(rng.bytes(31), "little") % fr.P for _ in range(256)]
+    vals_b = [int.from_bytes(rng.bytes(31), "little") % fr.P for _ in range(256)]
+    a = jnp.asarray(np.tile(fr.from_ints(np, vals_a), (n // 256, 1)))
+    b = jnp.asarray(np.tile(fr.from_ints(np, vals_b), (n // 256, 1)))
+
+    xla_fn = jax.jit(lambda x, y: fr.mul(jnp, x, y))
+    n_iters = int(os.environ.get("BENCH_ITERS", "50"))
+    results = {}
+    for name, fn in (("xla", xla_fn), ("pallas", lambda x, y: fr_mul_pallas(x, y))):
+        out = fn(a, b)
+        out.block_until_ready()
+        t0 = time.time()
+        for _ in range(n_iters):
+            out = fn(a, b)
+        out.block_until_ready()
+        dt = (time.time() - t0) / n_iters
+        results[name] = n / dt
+        # spot-check correctness on first rows
+        got = fr.to_ints(np.asarray(out[:4]))
+        want = [(x * y) % fr.P for x, y in zip(vals_a[:4], vals_b[:4])]
+        assert got == want, f"{name} fr mul mismatch"
+    best = max(results, key=results.get)
+    print(json.dumps({"detail": {k: round(v, 1) for k, v in results.items()},
+                      "winner": best}), file=sys.stderr)
+    return {
+        "metric": "fr_mul_per_s_chip",
+        "value": round(results[best], 1),
+        "unit": "field muls/s",
+        "vs_baseline": 1.0,
+    }
+
+
 def main():
     import numpy as np
 
@@ -150,6 +194,9 @@ def main():
         return
     if mode == "super":
         print(json.dumps(bench_super_circuit()))
+        return
+    if mode == "frmul":
+        print(json.dumps(bench_fr_mul()))
         return
 
     t_setup = time.time()

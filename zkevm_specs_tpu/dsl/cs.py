@@ -63,6 +63,12 @@ class ConstraintSystem:
         # branch-decision machinery (consumed/extended by branch())
         self.decisions: List[bool] = []
         self._decision_idx = 0
+        # witness-hint stream: eager trace records hint arrays; the jit pass
+        # replays them as kernel inputs (two-phase hint protocol)
+        self.hint_record: Optional[List] = None
+        self.hint_bits: Optional[List] = None
+        self.hint_replay: Optional[List] = None
+        self._hint_idx = 0
 
     # -- condition masks ---------------------------------------------------
 

@@ -141,9 +141,10 @@ def callop(instruction: Instruction):
             code_hash=Transition.same_word(),
         )
     elif precompile_branch:
-        aux = [a if a is not None else (0, 0) for a in instruction.curr.aux_data]
-        input_lens = [int(a[0]) for a in aux]
-        return_lens = [int(a[1]) for a in aux]
+        input_lens = instruction.aux_ints(
+            lambda a: int(a[0]) if a is not None else 0)
+        return_lens = instruction.aux_ints(
+            lambda a: int(a[1]) if a is not None else 0)
         rd_lens = instruction.ints_of(call.rd_length)
         min_rd_sizes = [min(rl, rd) for rl, rd in zip(return_lens, rd_lens)]
         precompile_input_len = instruction.f_hint(input_lens, 64)

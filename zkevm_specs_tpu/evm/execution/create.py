@@ -91,9 +91,8 @@ def create(instruction: Instruction):
     not_address_collision = False
     if is_precheck_ok:
         if has_init_code:
-            aux = instruction.curr.aux_data
-            code_hash = Word.from_ints(
-                instruction.ctx, [int(a) if a is not None else 0 for a in aux]
+            code_hash = instruction.word_hint(
+                instruction.aux_ints(lambda a: int(a) if a is not None else 0)
             )
         else:
             code_hash = instruction.word(EMPTY_CODE_HASH)

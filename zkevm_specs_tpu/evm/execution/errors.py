@@ -233,9 +233,8 @@ def error_oog_sload_sstore(instruction: Instruction):
     else:
         value = instruction.stack_pop()
         value_prev = instruction.account_storage_read(callee_address, storage_key, tx_id)
-        aux = instruction.curr.aux_data
-        original_value = Word.from_ints(
-            instruction.ctx, [int(a) if a is not None else 0 for a in aux]
+        original_value = instruction.word_hint(
+            instruction.aux_ints(lambda a: int(a) if a is not None else 0)
         )
         eq_prev = instruction.is_equal_word(value, value_prev)
         prev_eq_orig = instruction.is_equal_word(value_prev, original_value)

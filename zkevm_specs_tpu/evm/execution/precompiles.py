@@ -39,13 +39,11 @@ class PrecompileAuxData:
 
 
 def _aux_words(instruction: Instruction, idx: int) -> Word:
-    return Word.from_ints(
-        instruction.ctx, [int(a[idx]) for a in instruction.curr.aux_data]
-    )
+    return instruction.word_hint(instruction.aux_ints(lambda a: int(a[idx])))
 
 
 def _aux_f(instruction: Instruction, idx: int, bits: int = 254) -> F:
-    return instruction.f_hint([int(a[idx]) for a in instruction.curr.aux_data], bits)
+    return instruction.f_hint(instruction.aux_ints(lambda a: int(a[idx])), bits)
 
 
 def _precompile_info(instruction: Instruction, base_gas: int, address: F):
@@ -63,12 +61,12 @@ def ecRecover(instruction: Instruction):
     address = instruction.word_to_address(address_word)
     _precompile_info(instruction, EcrecoverGas, address)
 
-    aux = [a[0] for a in instruction.curr.aux_data]
-    keccak_rand = int(instruction.curr.aux_data[0][1])
-    msg_hash = Word.from_ints(instruction.ctx, [a.msg_hash for a in aux])
-    sig_v = Word.from_ints(instruction.ctx, [a.sig_v for a in aux])
-    sig_r = Word.from_ints(instruction.ctx, [a.sig_r for a in aux])
-    sig_s = Word.from_ints(instruction.ctx, [a.sig_s for a in aux])
+    aux = instruction.aux_ints(lambda a: a[0])
+    keccak_rand = instruction.aux_scalar(lambda ad: int(ad[0][1]), default=255)
+    msg_hash = instruction.word_hint([a.msg_hash for a in aux])
+    sig_v = instruction.word_hint([a.sig_v for a in aux])
+    sig_r = instruction.word_hint([a.sig_r for a in aux])
+    sig_s = instruction.word_hint([a.sig_s for a in aux])
     recovered_addr = instruction.f_hint([a.recovered_addr for a in aux], 160)
 
     is_recovered = 1 - instruction.is_zero(recovered_addr)

@@ -56,6 +56,70 @@ from .step import StepStateBatch
 IntOrF = Union[int, F]
 
 
+class _HintDummy:
+    """Inert stand-in for a host int inside jit tracing.
+
+    ``ints_of`` returns these when the gadget runs under jit: the Python
+    hint-arithmetic expressions (quotients, keccaks, modmuls, …) still
+    execute structurally — every operation yields another dummy, every
+    comparison is False — but the values never matter because ``f_hint`` /
+    ``word_hint`` replay the arrays the eager hint pass recorded.  The only
+    structural requirement is that the *sequence* of hint calls matches the
+    recorded stream, which holds because data-dependent control flow goes
+    through branch()/uniform_int (signature-replayed), never through raw
+    ints_of values."""
+
+    __slots__ = ()
+
+    def _op(self, *a):
+        return self
+
+    __add__ = __radd__ = __sub__ = __rsub__ = __mul__ = __rmul__ = _op
+    __floordiv__ = __rfloordiv__ = __truediv__ = __rtruediv__ = _op
+    __mod__ = __rmod__ = __pow__ = __rpow__ = _op
+    __lshift__ = __rlshift__ = __rshift__ = __rrshift__ = _op
+    __and__ = __rand__ = __or__ = __ror__ = __xor__ = __rxor__ = _op
+    __neg__ = __pos__ = __invert__ = __abs__ = _op
+
+    def __divmod__(self, other):
+        return (self, self)
+
+    def __rdivmod__(self, other):
+        return (self, self)
+
+    __call__ = _op
+    __getitem__ = _op
+
+    def __getattr__(self, name):
+        return self
+
+    def __len__(self):
+        return 0
+
+    def __bool__(self):
+        return False
+
+    def __eq__(self, other):
+        return False
+
+    def __ne__(self, other):
+        return True
+
+    __lt__ = __le__ = __gt__ = __ge__ = __eq__
+
+    def __int__(self):
+        return 0
+
+    __index__ = __int__
+    __hash__ = object.__hash__
+
+    def __repr__(self):
+        return "<hint>"
+
+
+_DUMMY = _HintDummy()
+
+
 class TransitionKind(IntEnum):
     Same = auto()
     SameWord = auto()
@@ -257,25 +321,71 @@ class Instruction:
         """Bool mask of a 0/1 condition value."""
         return ~self._f(condition).is_zero_mask()
 
-    # -- host witness hints (eager mode) ----------------------------------
+    # -- host witness hints (two-phase hint protocol) ----------------------
 
     def ints_of(self, v: Union[F, Word]) -> List[int]:
         """Per-lane Python ints of a value, broadcast to the batch size.
 
         Used to compute witness *hints* (quotients, remainders, inverses)
         the way the reference derives them from concrete values; the hints
-        are then constrained like any other value.  Eager mode only — the
-        jit runner precomputes hints via a prior eager pass."""
+        are then constrained like any other value.  Under jit the host
+        arithmetic cannot run, so inert ``_HintDummy`` placeholders are
+        returned — the gadget's hint expressions still *execute* (producing
+        more dummies) but the resulting values are discarded: ``word_hint``
+        / ``f_hint`` replay the arrays recorded by the eager hint pass."""
+        if not self.ctx.eager:
+            return [_DUMMY] * self.ctx.batch
         vals = v.to_ints()
         if len(vals) == 1 and self.ctx.batch > 1:
             vals = vals * self.ctx.batch
         return vals
 
+    def aux_ints(self, extract: Callable) -> List:
+        """Per-lane host values extracted from StepState.aux_data (eager);
+        inert dummies under jit — the real arrays come via the hint stream."""
+        if self.ctx.eager:
+            return [extract(a) for a in self.curr.aux_data]
+        return [_DUMMY] * self.ctx.batch
+
+    def aux_scalar(self, extract: Callable, default=0):
+        """A group-uniform host scalar from aux_data (e.g. the keccak
+        randomness); ``default`` under jit, where the value only feeds
+        discarded dummy hint arithmetic."""
+        if self.ctx.eager:
+            return extract(self.curr.aux_data)
+        return default
+
     def word_hint(self, values: Sequence[int]) -> Word:
-        return Word.from_ints(self.ctx, [v % (1 << 256) for v in values])
+        """A 256-bit witness hint column.  Eager: built from host ints (and
+        recorded when a hint pass is active).  Jit: replayed from the hint
+        stream — ``values`` (dummies) are ignored."""
+        cs = self.cs
+        if cs.hint_replay is not None:
+            entry = cs.hint_replay[cs._hint_idx]
+            bits = cs.hint_bits[cs._hint_idx]
+            cs._hint_idx += 1
+            return Word(F(self.ctx, entry["lo"], bits[0]),
+                        F(self.ctx, entry["hi"], bits[1]))
+        w = Word.from_ints(self.ctx, [v % (1 << 256) for v in values])
+        if cs.hint_record is not None:
+            cs.hint_record.append({"lo": np.asarray(w.lo.limbs),
+                                   "hi": np.asarray(w.hi.limbs)})
+            cs.hint_bits.append((w.lo.bits, w.hi.bits))
+        return w
 
     def f_hint(self, values: Sequence[int], bits: int = 254) -> F:
-        return F.from_ints(self.ctx, values, bits)
+        """A field witness hint column (see word_hint)."""
+        cs = self.cs
+        if cs.hint_replay is not None:
+            entry = cs.hint_replay[cs._hint_idx]
+            b = cs.hint_bits[cs._hint_idx]
+            cs._hint_idx += 1
+            return F(self.ctx, entry["f"], b)
+        f = F.from_ints(self.ctx, values, bits)
+        if cs.hint_record is not None:
+            cs.hint_record.append({"f": np.asarray(f.limbs)})
+            cs.hint_bits.append(f.bits)
+        return f
 
     # -- execution-state machine ------------------------------------------
 
@@ -1200,48 +1310,41 @@ class Instruction:
     # -- CREATE address derivation (host crypto, eager witness path) -------
 
     def generate_contract_address(self, address: F, nonce: F) -> F:
-        from ..ops.keccak import keccak256
-        from ..witness.rlp import rlp_encode
+        addrs = self.ints_of(self._f(address))
+        nonces = self.ints_of(self._f(nonce))
+        if self.ctx.eager:
+            from ..ops.keccak import keccak256
+            from ..witness.rlp import rlp_encode
 
-        assert self.ctx.eager
-        addrs = self._f(address).to_ints()
-        nonces = self._f(nonce).to_ints()
-        if len(addrs) == 1 and len(nonces) > 1:
-            addrs = addrs * len(nonces)
-        if len(nonces) == 1 and len(addrs) > 1:
-            nonces = nonces * len(addrs)
-        outs = [
-            int.from_bytes(
-                keccak256(rlp_encode([a.to_bytes(20, "big"), n]))[-20:], "big"
-            )
-            for a, n in zip(addrs, nonces)
-        ]
-        return F.from_ints(self.ctx, outs, 160)
+            outs = [
+                int.from_bytes(
+                    keccak256(rlp_encode([a.to_bytes(20, "big"), n]))[-20:], "big"
+                )
+                for a, n in zip(addrs, nonces)
+            ]
+        else:
+            outs = addrs  # dummies; f_hint replays the recorded stream
+        return self.f_hint(outs, 160)
 
     def generate_CREAET2_contract_address(self, address: F, salt: Word, code_hash: Word) -> F:
-        from ..ops.keccak import keccak256
+        addrs = self.ints_of(self._f(address))
+        salts = self.ints_of(salt)
+        hashes = self.ints_of(code_hash)
+        if self.ctx.eager:
+            from ..ops.keccak import keccak256
 
-        assert self.ctx.eager
-        addrs = self._f(address).to_ints()
-        salts = salt.to_ints()
-        hashes = code_hash.to_ints()
-        n = max(len(addrs), len(salts), len(hashes))
-        if len(addrs) == 1:
-            addrs = addrs * n
-        if len(salts) == 1:
-            salts = salts * n
-        if len(hashes) == 1:
-            hashes = hashes * n
-        outs = [
-            int.from_bytes(
-                keccak256(
-                    b"\xff" + a.to_bytes(20, "big") + s.to_bytes(32, "little")
-                    + h.to_bytes(32, "little")
-                )[-20:], "big",
-            )
-            for a, s, h in zip(addrs, salts, hashes)
-        ]
-        return F.from_ints(self.ctx, outs, 160)
+            outs = [
+                int.from_bytes(
+                    keccak256(
+                        b"\xff" + a.to_bytes(20, "big") + s.to_bytes(32, "little")
+                        + h.to_bytes(32, "little")
+                    )[-20:], "big",
+                )
+                for a, s, h in zip(addrs, salts, hashes)
+            ]
+        else:
+            outs = addrs
+        return self.f_hint(outs, 160)
 
     # -- shared error-state epilogue (reference instruction.py:1426-1452) --
 

@@ -33,7 +33,7 @@ def shard_evm_group(verifier, steps, next_steps, mesh, axis: str = "rows"):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    curr_cols, next_cols, tables_tree = verifier.prepare_inputs(steps, next_steps)
+    curr_cols, next_cols, tables_tree, hints = verifier.prepare_inputs(steps, next_steps)
     row_sharding = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
@@ -42,8 +42,9 @@ def shard_evm_group(verifier, steps, next_steps, mesh, axis: str = "rows"):
 
     curr_cols = put_rows(curr_cols)
     next_cols = put_rows(next_cols)
+    hints = put_rows(hints)  # hint columns are per-lane, shard like rows
     tables_tree = jax.tree.map(lambda a: jax.device_put(a, repl), tables_tree)
-    return verifier(curr_cols, next_cols, tables_tree)
+    return verifier(curr_cols, next_cols, tables_tree, hints)
 
 
 def sharded_state_circuit(rows: List[dict], mpt_rows: List[dict], mesh,

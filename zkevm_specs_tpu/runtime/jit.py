@@ -103,31 +103,38 @@ class CompiledGroupVerifier:
         self.is_first = is_first
         self.is_last = is_last
 
-        # 1. eager trace pass: capture signature + column bounds + indexes
+        # 1. eager trace pass: capture signature + column bounds + indexes +
+        #    the shape of the witness-hint stream
         ctx = Ctx(np, len(steps), "eager")
         cs = ConstraintSystem(ctx)
+        cs.hint_record, cs.hint_bits = [], []
         curr = StepStateBatch(ctx, steps, state)
         nxt = StepStateBatch(ctx, next_steps)
+        self._tables_np = tables_np
         inst = Instruction(ctx, cs, tables_np.with_ctx(ctx), curr, nxt, is_first, is_last)
         verify_step(inst)  # raises LaneSplit if the group isn't uniform
         self.signature = list(cs.decisions)
+        self.hint_bits = list(cs.hint_bits)
         self.curr_bits = curr.column_bits()
         self.next_bits = nxt.column_bits()
         self.tables_tree_np = tables_to_pytree(tables_np)
         self.meta = tables_meta(tables_np)
 
         sig = self.signature
+        hint_bits = self.hint_bits
         meta = self.meta
         curr_bits, next_bits = self.curr_bits, self.next_bits
         st, isf, isl = state, is_first, is_last
 
-        def fn(curr_cols, next_cols, tables_tree):
+        def fn(curr_cols, next_cols, tables_tree, hints):
             import jax.numpy as jnp
 
             batch = next(iter(curr_cols.values())).shape[0]
             jctx = Ctx(jnp, batch, "jit")
             jcs = ConstraintSystem(jctx)
             jcs.decisions = list(sig)
+            jcs.hint_replay = hints
+            jcs.hint_bits = hint_bits
             jtables = tables_from_pytree(jctx, tables_tree, meta)
             jcurr = StepStateBatch.from_columns(jctx, curr_cols, st, curr_bits)
             jnxt = StepStateBatch.from_columns(jctx, next_cols, None, next_bits)
@@ -137,12 +144,28 @@ class CompiledGroupVerifier:
 
         self._jit = jax.jit(fn)
         self.n_constraints = len(cs.records)
+        self.n_hints = len(self.hint_bits)
 
     def prepare_inputs(self, steps: List[StepState], next_steps: List[StepState]):
+        """Host hint pass: re-run the gadget eagerly on the actual batch to
+        regenerate its witness-hint arrays (quotients, inverses, keccaks …)
+        under the compiled signature; they ship to the device alongside the
+        step columns."""
         ctx = Ctx(np, len(steps), "eager")
+        cs = ConstraintSystem(ctx)
+        cs.decisions = list(self.signature)
+        cs.hint_record, cs.hint_bits = [], []
         curr = StepStateBatch(ctx, steps, self.state)
         nxt = StepStateBatch(ctx, next_steps)
-        return curr.to_columns(), nxt.to_columns(), self.tables_tree_np
+        inst = Instruction(ctx, cs, self._tables_np.with_ctx(ctx), curr, nxt,
+                           self.is_first, self.is_last)
+        verify_step(inst)
+        assert len(cs.hint_record) == self.n_hints, (
+            f"hint stream diverged: {len(cs.hint_record)} != {self.n_hints}")
+        assert cs.hint_bits == self.hint_bits, (
+            "hint magnitude bounds diverged from the compiled trace "
+            "(malformed witness? verify it in spec mode instead)")
+        return curr.to_columns(), nxt.to_columns(), self.tables_tree_np, cs.hint_record
 
-    def __call__(self, curr_cols, next_cols, tables_tree):
-        return self._jit(curr_cols, next_cols, tables_tree)
+    def __call__(self, curr_cols, next_cols, tables_tree, hints):
+        return self._jit(curr_cols, next_cols, tables_tree, hints)
