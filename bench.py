@@ -14,19 +14,26 @@ import time
 from pathlib import Path
 
 
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS even under the axon hook (which overrides it at
+    interpreter start; see tests/conftest.py)."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def bench_state_circuit():
     """BASELINE config 2: rw-table sorted multiset + consistency kernel."""
     import numpy as np
     import jax
-    import jax.numpy as jnp
 
     from zkevm_specs_tpu.circuits.state import (
         MemoryOp, StackOp, StartOp, assign_state_circuit, mpt_table_from_ops,
-        StateRows, check_state_rows,
+        make_state_check_fn, pack_state_inputs,
     )
-    from zkevm_specs_tpu.dsl.value import Ctx, F, Word
-    from zkevm_specs_tpu.tables.engine import Table
-    from zkevm_specs_tpu.tables.schemas import MPT_SCHEMA, RW
+    from zkevm_specs_tpu.tables.schemas import RW
 
     n_rows = int(os.environ.get("BENCH_STEPS", "8192"))
     ops = [StartOp(rw_counter=1, rw=RW.Read, lexicographic_ordering_selector=0)]
@@ -42,52 +49,9 @@ def bench_state_circuit():
     rows = assign_state_circuit(ops)
     mpt_rows = mpt_table_from_ops(ops)
 
-    ctx_np = Ctx(np, len(rows), "eager")
-    state_np = StateRows(ctx_np, rows)
-    mpt_np = Table.from_rows(ctx_np, MPT_SCHEMA, mpt_rows)
-    mpt_np.index_for(tuple(MPT_SCHEMA.columns))
-
-    cols = {name: getattr(state_np, name).limbs for name in StateRows._BITS}
-    for name in StateRows._WORDS:
-        w = getattr(state_np, name)
-        cols[name + "_lo"] = w.lo.limbs
-        cols[name + "_hi"] = w.hi.limbs
-    bits = {name: getattr(state_np, name).bits for name in StateRows._BITS}
-    wbits = {name: (getattr(state_np, name).lo.bits, getattr(state_np, name).hi.bits)
-             for name in StateRows._WORDS}
-    subset = tuple(MPT_SCHEMA.columns)
-    mpt_tree = {
-        "cols": {c: ({"lo": v.lo.limbs, "hi": v.hi.limbs} if hasattr(v, "lo")
-                     else {"f": v.limbs}) for c, v in mpt_np.data.items()},
-        "fps": mpt_np._indexes[subset][0],
-        "order": mpt_np._indexes[subset][1],
-    }
-    mpt_bits = {c: ((v.lo.bits, v.hi.bits) if hasattr(v, "lo") else v.bits)
-                for c, v in mpt_np.data.items()}
+    cols, mpt_tree, meta = pack_state_inputs(rows, mpt_rows)
     n = len(rows)
-
-    def fn(cols, mpt_tree):
-        jctx = Ctx(jnp, n, "jit")
-        st = object.__new__(StateRows)
-        st.ctx = jctx
-        st.n = n
-        for name in StateRows._BITS:
-            setattr(st, name, F(jctx, cols[name], bits[name]))
-        for name in StateRows._WORDS:
-            setattr(st, name, Word(F(jctx, cols[name + "_lo"], wbits[name][0]),
-                                   F(jctx, cols[name + "_hi"], wbits[name][1])))
-        data = {}
-        for c, arrs in mpt_tree["cols"].items():
-            if "lo" in arrs:
-                data[c] = Word(F(jctx, arrs["lo"], mpt_bits[c][0]),
-                               F(jctx, arrs["hi"], mpt_bits[c][1]))
-            else:
-                data[c] = F(jctx, arrs["f"], mpt_bits[c])
-        mpt = Table(jctx, MPT_SCHEMA, data, mpt_np.n_rows)
-        mpt._indexes[subset] = (mpt_tree["fps"], mpt_tree["order"])
-        return check_state_rows(jctx, st, mpt).fail
-
-    jfn = jax.jit(fn)
+    jfn = jax.jit(make_state_check_fn(meta))
     args = jax.device_put((cols, mpt_tree))
     out = jfn(*args)
     out.block_until_ready()
@@ -188,6 +152,7 @@ def bench_fr_mul():
 def main():
     import numpy as np
 
+    _apply_platform_env()
     mode = os.environ.get("BENCH_MODE", "evm")
     if mode == "state":
         print(json.dumps(bench_state_circuit()))

@@ -492,6 +492,77 @@ def check_state_rows(ctx: Ctx, rows: StateRows, mpt: Table) -> ConstraintSystem:
     return cs
 
 
+def pack_state_inputs(rows: List[dict], mpt_rows: List[dict]):
+    """Pack state-circuit rows + the mock-MPT table into flat limb-array
+    pytrees for the jit boundary, plus the static meta (bit bounds, sizes,
+    prebuilt lookup index) a compiled kernel needs to rebuild them.
+
+    Shared by the single-chip jit path, the sharded path (parallel/shard.py)
+    and bench.py.
+    """
+    ctx_np = Ctx(np, len(rows), "eager")
+    state_np = StateRows(ctx_np, rows)
+    mpt_np = Table.from_rows(ctx_np, MPT_SCHEMA, mpt_rows)
+    subset = tuple(MPT_SCHEMA.columns)
+    mpt_np.index_for(subset)
+
+    cols = {name: getattr(state_np, name).limbs for name in StateRows._BITS}
+    for name in StateRows._WORDS:
+        w = getattr(state_np, name)
+        cols[name + "_lo"] = w.lo.limbs
+        cols[name + "_hi"] = w.hi.limbs
+
+    mpt_tree = {
+        "cols": {c: ({"lo": v.lo.limbs, "hi": v.hi.limbs} if isinstance(v, Word)
+                     else {"f": v.limbs}) for c, v in mpt_np.data.items()},
+        "fps": mpt_np._indexes[subset][0],
+        "order": mpt_np._indexes[subset][1],
+    }
+    meta = {
+        "n": len(rows),
+        "bits": {name: getattr(state_np, name).bits for name in StateRows._BITS},
+        "wbits": {name: (getattr(state_np, name).lo.bits,
+                         getattr(state_np, name).hi.bits)
+                  for name in StateRows._WORDS},
+        "mpt_bits": {c: ((v.lo.bits, v.hi.bits) if isinstance(v, Word) else v.bits)
+                     for c, v in mpt_np.data.items()},
+        "mpt_rows": mpt_np.n_rows,
+        "subset": subset,
+    }
+    return cols, mpt_tree, meta
+
+
+def make_state_check_fn(meta):
+    """Build the jit-compilable state-circuit kernel for the given meta
+    (wrap with jax.jit; inputs come from pack_state_inputs)."""
+
+    def fn(cols, mpt_tree):
+        import jax.numpy as jnp
+
+        jctx = Ctx(jnp, meta["n"], "jit")
+        st = object.__new__(StateRows)
+        st.ctx = jctx
+        st.n = meta["n"]
+        for name in StateRows._BITS:
+            setattr(st, name, F(jctx, cols[name], meta["bits"][name]))
+        for name in StateRows._WORDS:
+            lo_b, hi_b = meta["wbits"][name]
+            setattr(st, name, Word(F(jctx, cols[name + "_lo"], lo_b),
+                                   F(jctx, cols[name + "_hi"], hi_b)))
+        data = {}
+        for c, arrs in mpt_tree["cols"].items():
+            b = meta["mpt_bits"][c]
+            if "lo" in arrs:
+                data[c] = Word(F(jctx, arrs["lo"], b[0]), F(jctx, arrs["hi"], b[1]))
+            else:
+                data[c] = F(jctx, arrs["f"], b)
+        mpt = Table(jctx, MPT_SCHEMA, data, meta["mpt_rows"])
+        mpt._indexes[meta["subset"]] = (mpt_tree["fps"], mpt_tree["order"])
+        return check_state_rows(jctx, st, mpt).fail
+
+    return fn
+
+
 def verify_state_rows(rows: List[dict], mpt_rows: List[dict], success: bool = True, xp=np):
     """Reference-equivalent driver (tests/test_state_circuit.py:17-38):
     cyclic prev/next over the whole row set, one batched evaluation."""
