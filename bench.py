@@ -105,6 +105,72 @@ def bench_super_circuit():
     }
 
 
+def bench_super_jit():
+    """BASELINE config 5, production path: whole-block verification with
+    every EVM step group + the state circuit compiled to XLA kernels
+    (runtime/block.py).  Reports end-to-end gas/s; device-only and host
+    hint-pass split in the detail line."""
+    import numpy as np
+
+    from zkevm_specs_tpu.runtime.block import CompiledBlockVerifier
+    from zkevm_specs_tpu.witness.tracer import trace_block
+    from zkevm_specs_tpu.witness.typing import Block, Bytecode, Transaction
+
+    n_txs = int(os.environ.get("BENCH_TXS", "4"))
+    block = Block(base_fee=int(1e9))
+    txs = []
+    for i in range(n_txs):
+        bytecode = Bytecode()
+        for j in range(40):
+            bytecode.push1(j).push1(j + 1).add().pop()
+        bytecode.stop()
+        txs.append(
+            (Transaction(id=i + 1, gas=100000, gas_price=int(2e9),
+                         caller_address=0xFE, callee_address=0xFF + i), bytecode)
+        )
+    total_gas = sum(tx.gas for tx, _ in txs)
+
+    t0 = time.time()
+    witness = trace_block(block, txs)
+    t_trace = time.time() - t0
+
+    t0 = time.time()
+    bv = CompiledBlockVerifier(witness)
+    t_compile = time.time() - t0
+
+    t0 = time.time()
+    prepared = bv.prepare()
+    t_prepare = time.time() - t0
+
+    # warmup (compile executables), then timed device-only iterations
+    failures = bv.run_device(prepared)
+    assert not failures, f"benchmark witness failed: {failures}"
+    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+    t0 = time.time()
+    for _ in range(n_iters):
+        failures = bv.run_device(prepared)
+    t_device = (time.time() - t0) / n_iters
+    assert not failures
+
+    e2e = t_prepare + t_device
+    return {
+        "metric": "super_circuit_jit_gas_per_s",
+        "value": round(total_gas / e2e, 1),
+        "unit": "gas/s",
+        "vs_baseline": 1.0,
+        "detail": {
+            "device_s": round(t_device, 4),
+            "device_gas_per_s": round(total_gas / t_device, 1),
+            "prepare_s": round(t_prepare, 3),
+            "compile_s": round(t_compile, 1),
+            "trace_s": round(t_trace, 3),
+            "steps": len(witness.steps),
+            "groups": len(bv.groups),
+            "constraint_evals": bv.n_constraints,
+        },
+    }
+
+
 def bench_fr_mul():
     """Fr modular-mul kernel: Pallas (limb-major VMEM-resident) vs the XLA
     elementwise path; reports the faster one in field muls/s/chip."""
@@ -160,9 +226,15 @@ def main():
     if mode == "super":
         print(json.dumps(bench_super_circuit()))
         return
+    if mode == "super_jit":
+        print(json.dumps(bench_super_jit()))
+        return
     if mode == "frmul":
         print(json.dumps(bench_fr_mul()))
         return
+    if mode != "evm":
+        sys.exit(f"unknown BENCH_MODE={mode!r} "
+                 "(choose: evm, state, super, super_jit, frmul)")
 
     t_setup = time.time()
     import jax

@@ -1,5 +1,12 @@
 """EndBlock gadget — block-level totality proofs A-F
-(reference: evm_circuit/execution/end_block.py:11-183)."""
+(reference: evm_circuit/execution/end_block.py:11-183).
+
+The block totals (tx counts, withdrawal counts, sorted withdrawal rows) are
+host scalars derived from the replicated lookup tables; they go through
+``Instruction.table_scalar`` so the gadget compiles under jit — the eager
+trace records them in the control signature and the compiled kernel replays
+them against the same shipped tables.
+"""
 import numpy as np
 
 from ...dsl.value import F, Word
@@ -29,27 +36,33 @@ def get_tx_table_max_txs(tx_table) -> int:
     return sum(1 for t in tags if t == int(TxContextFieldTag.CallerAddress))
 
 
+def _count_total_txs(tx_table) -> int:
+    tags = _col_ints(tx_table, "field_tag")
+    values = _col_ints(tx_table, "value")
+    return sum(1 for t, v in zip(tags, values)
+               if t == int(TxContextFieldTag.CallerAddress) and v != 0)
+
+
+def _count_invalid_txs(tx_table) -> int:
+    tags = _col_ints(tx_table, "field_tag")
+    values = _col_ints(tx_table, "value")
+    return sum(1 for t, v in zip(tags, values)
+               if t == int(TxContextFieldTag.TxInvalid) and v == 1)
+
+
 def end_block(instruction: Instruction):
     tables = instruction.tables
-    max_txs = get_tx_table_max_txs(tables.tx)
+    ts = instruction.table_scalar
     max_rws = tables.rw.n_rows
     max_withdrawals = tables.withdrawal.n_rows
+    max_txs = ts(lambda: get_tx_table_max_txs(tables.tx))
+    total_txs = ts(lambda: _count_total_txs(tables.tx))
+    total_valid_txs = total_txs - ts(lambda: _count_invalid_txs(tables.tx))
 
-    tx_tags = _col_ints(tables.tx, "field_tag")
-    tx_values = _col_ints(tables.tx, "value")
-    total_txs = sum(
-        1
-        for t, v in zip(tx_tags, tx_values)
-        if t == int(TxContextFieldTag.CallerAddress) and v != 0
+    total_withdrawals = (
+        ts(lambda: sum(1 for a in _col_ints(tables.withdrawal, "amount") if a != 0))
+        if max_withdrawals else 0
     )
-    total_valid_txs = total_txs - sum(
-        1
-        for t, v in zip(tx_tags, tx_values)
-        if t == int(TxContextFieldTag.TxInvalid) and v == 1
-    )
-
-    wd_amounts = _col_ints(tables.withdrawal, "amount") if max_withdrawals else []
-    total_withdrawals = sum(1 for a in wd_amounts if a != 0)
 
     is_empty_block = instruction.is_zero(instruction.curr.rw_counter - 1)
     total_rws = (1 - is_empty_block) * (instruction.curr.rw_counter - 1 + 2)
@@ -77,10 +90,19 @@ def end_block(instruction: Instruction):
             # 5. withdrawal balance updates, sorted by id
             padding_wds = 0
             if max_withdrawals:
-                wd_ids = _col_ints(tables.withdrawal, "id")
-                wd_addrs = _col_ints(tables.withdrawal, "address")
-                rows = sorted(zip(wd_ids, wd_addrs, wd_amounts))
-                for _id, addr, amount in rows:
+                # host rows at trace time; each consumed value replays
+                # through the signature under jit
+                if instruction.ctx.eager:
+                    rows_host = sorted(zip(
+                        _col_ints(tables.withdrawal, "id"),
+                        _col_ints(tables.withdrawal, "address"),
+                        _col_ints(tables.withdrawal, "amount"),
+                    ))
+                else:
+                    rows_host = None
+                for k in range(max_withdrawals):
+                    addr = ts(lambda: rows_host[k][1])
+                    amount = ts(lambda: rows_host[k][2])
                     if amount != 0:
                         instruction.add_balance(
                             instruction.fq(addr),

@@ -294,6 +294,24 @@ class Instruction:
             return first
         raise LaneSplit(np.array([v == first for v in vals]))
 
+    def table_scalar(self, compute: Callable[[], int]) -> int:
+        """A group-uniform host int derived from the (replicated) lookup
+        tables — e.g. EndBlock's total-tx / withdrawal counts (reference
+        end_block.py:72-105).  Recorded in the control signature at eager
+        trace time and replayed under jit; sound because the jit kernel is
+        fed the very same host-marshalled tables the scalar was computed
+        from (runtime/jit.py tables_to_pytree)."""
+        cs = self.cs
+        if cs._decision_idx < len(cs.decisions):
+            decided = cs.decisions[cs._decision_idx]
+            cs._decision_idx += 1
+            return int(decided)
+        assert self.ctx.eager, "jit mode requires a full control signature"
+        val = int(compute())
+        cs.decisions.append(val)
+        cs._decision_idx += 1
+        return val
+
     def condition(self, condition: F, build: Callable):
         """Reference's conditional gadget-building helper
         (instruction.py:425-427): run build() only when condition holds."""

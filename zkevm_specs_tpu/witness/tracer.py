@@ -309,9 +309,14 @@ def _trace_execution(
 
     # --- EndBlock ---
     final_rwc = rw.rw_counter
-    rw.call_context_read(call_id, CallContextFieldTag.TxId, len(txs))
-    rw.tx_receipt_read(len(txs), TxReceiptFieldTag.CumulativeGasUsed, cumulative_gas)
-    w.steps.append(StepState(ExecutionState.EndBlock, final_rwc, call_id=call_id))
+    if txs:
+        rw.call_context_read(call_id, CallContextFieldTag.TxId, len(txs))
+        rw.tx_receipt_read(len(txs), TxReceiptFieldTag.CumulativeGasUsed, cumulative_gas)
+        w.steps.append(StepState(ExecutionState.EndBlock, final_rwc, call_id=call_id))
+    else:
+        # empty block: EndBlock's is_empty_block branch (rw_counter == 1)
+        # makes no lookups beyond the rw-table Start padding argument
+        w.steps.append(StepState(ExecutionState.EndBlock, final_rwc))
     # padding rows so the rw-table totality argument holds:
     # max_rws - total_rws = number of Start rows needed
     total_rws = final_rwc - 1 + 2
