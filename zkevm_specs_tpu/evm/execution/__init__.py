@@ -79,6 +79,7 @@ from .sdiv_smod import sdiv_smod
 from .shl_shr import shl_shr
 from .signextend import signextend
 from .slt_sgt import scmp
+from .stack_family import dup, jumpdest, pc, swap
 from .stop import stop
 
 EXECUTION_STATE_IMPL: Dict[ExecutionState, Callable] = {
@@ -135,6 +136,12 @@ EXECUTION_STATE_IMPL: Dict[ExecutionState, Callable] = {
     ExecutionState.SIGNEXTEND: signextend,
     ExecutionState.SCMP: scmp,
     ExecutionState.STOP: stop,
+    # beyond reference parity: DUP/SWAP/PC/JUMPDEST exist in the reference
+    # enum but are never registered there (execution/__init__.py:86-171)
+    ExecutionState.DUP: dup,
+    ExecutionState.SWAP: swap,
+    ExecutionState.PC: pc,
+    ExecutionState.JUMPDEST: jumpdest,
     ExecutionState.ErrorInvalidJump: error_invalid_jump,
     ExecutionState.ErrorGasUintOverflow: error_gas_uint_overflow,
     ExecutionState.ErrorOutOfGasCall: error_oog_call,

@@ -43,7 +43,12 @@ _STATE_BY_OPCODE = {
     Opcode.MLOAD: ExecutionState.MEMORY,
     Opcode.MSTORE: ExecutionState.MEMORY,
     Opcode.MSTORE8: ExecutionState.MEMORY,
+    Opcode.PC: ExecutionState.PC,
+    Opcode.JUMPDEST: ExecutionState.JUMPDEST,
 }
+for _i in range(1, 17):
+    _STATE_BY_OPCODE[Opcode[f"DUP{_i}"]] = ExecutionState.DUP
+    _STATE_BY_OPCODE[Opcode[f"SWAP{_i}"]] = ExecutionState.SWAP
 
 U256M = (1 << 256) - 1
 
@@ -203,6 +208,30 @@ def _trace_execution(
                 stack.append(v)
                 rw.stack_write(call_id, 1024 - len(stack), v)
                 pc += 1 + n
+            elif op == Opcode.JUMPDEST:
+                pc += 1
+            elif op == Opcode.PC:
+                stack.append(pc)
+                rw.stack_write(call_id, 1024 - len(stack), pc)
+                pc += 1
+            elif int(Opcode.DUP1) <= int(op) <= int(Opcode.DUP16):
+                # gadget rw order (stack_family.py): read at depth x, push
+                x = int(op) - int(Opcode.DUP1) + 1
+                v = stack[-x]
+                rw.stack_read(call_id, sp + x - 1, v)
+                stack.append(v)
+                rw.stack_write(call_id, 1024 - len(stack), v)
+                pc += 1
+            elif int(Opcode.SWAP1) <= int(op) <= int(Opcode.SWAP16):
+                # gadget rw order: read top, read deep, write top, write deep
+                n = int(op) - int(Opcode.SWAP1) + 1
+                top, deep = stack[-1], stack[-1 - n]
+                rw.stack_read(call_id, sp, top)
+                rw.stack_read(call_id, sp + n, deep)
+                rw.stack_write(call_id, sp, deep)
+                rw.stack_write(call_id, sp + n, top)
+                stack[-1], stack[-1 - n] = deep, top
+                pc += 1
             elif op == Opcode.POP:
                 v = stack.pop()
                 rw.stack_read(call_id, 1023 - len(stack), v)
