@@ -99,19 +99,25 @@ _BITS = {
 }
 
 
-def verify_bytecode_circuit(rows: List[dict], keccak_rows: List[dict],
-                            keccak_randomness: int, success: bool = True, xp=np):
-    ctx = Ctx(xp, len(rows), "eager")
-    cs = ConstraintSystem(ctx)
+def build_bytecode_cols(ctx: Ctx, rows: List[dict]):
     col = {name: F.from_ints(ctx, [r[name] for r in rows], bits)
            for name, bits in _BITS.items()}
-    hash_col = Word.from_ints(ctx, [r["hash"] for r in rows])
-    idx = (xp.arange(len(rows)) + 1) % len(rows)
-    nxt = {name: v.gather(idx) for name, v in col.items()}
-    nxt_hash = hash_col.gather(idx)
+    col["hash"] = Word.from_ints(ctx, [r["hash"] for r in rows])
+    return col
 
-    keccak = Table.from_rows(ctx, KECCAK_SCHEMA, keccak_rows)
-    r = F.const(ctx, keccak_randomness)
+
+def check_bytecode(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
+    """The bytecode-circuit constraint body (reference bytecode_circuit.py:37-101)
+    — runs eagerly (spec mode) and under jit (production) unchanged."""
+    xp = ctx.xp
+    col = cols
+    hash_col = col["hash"]
+    n = ctx.batch
+    idx = (xp.arange(n) + 1) % n
+    nxt = {name: v.gather(idx) for name, v in col.items() if name != "hash"}
+    nxt_hash = hash_col.gather(idx)
+    keccak = tables["keccak"]
+    r = F.const(ctx, static["r"])
 
     is_header = col["tag"].eq_mask(int(BytecodeFieldTag.Header))
     is_byte = col["tag"].eq_mask(int(BytecodeFieldTag.Byte))
@@ -199,10 +205,27 @@ def verify_bytecode_circuit(rows: List[dict], keccak_rows: List[dict],
     check(q_last, col["length"].is_zero_mask(), "last Header: length != 0")
     check(q_last, hash_col.eq_mask(Word.const(ctx, EMPTY_HASH)), "last Header: not empty hash")
 
-    fail = np.asarray(cs.fail)
-    if success:
-        if fail.any():
-            i = int(np.argmax(fail))
-            raise AssertionError(f"bytecode row {i}: {cs.first_failure_message()[i]}")
-    else:
-        assert fail.any(), "expected bytecode circuit to fail"
+
+def verify_bytecode_circuit(rows: List[dict], keccak_rows: List[dict],
+                            keccak_randomness: int, success: bool = True, xp=np):
+    """Spec-mode (eager) driver with reference verdict semantics."""
+    from ..runtime.kernels import run_spec
+
+    ctx = Ctx(xp, len(rows), "eager")
+    cols = build_bytecode_cols(ctx, rows)
+    keccak = Table.from_rows(ctx, KECCAK_SCHEMA, keccak_rows)
+    run_spec("bytecode", check_bytecode, cols, {"keccak": keccak},
+             {"r": keccak_randomness}, success=success)
+
+
+def bytecode_kernel(rows: List[dict], keccak_rows: List[dict],
+                    keccak_randomness: int):
+    """Production path: the same constraint body compiled to one XLA kernel."""
+    from ..runtime.kernels import CircuitKernel
+
+    ctx = Ctx(np, len(rows), "eager")
+    cols = build_bytecode_cols(ctx, rows)
+    keccak = Table.from_rows(ctx, KECCAK_SCHEMA, keccak_rows)
+    keccak.index_for(tuple(KECCAK_SCHEMA.columns))
+    return CircuitKernel("bytecode", check_bytecode, cols, {"keccak": keccak},
+                         {"r": keccak_randomness})

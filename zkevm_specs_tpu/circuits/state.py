@@ -528,6 +528,7 @@ def pack_state_inputs(rows: List[dict], mpt_rows: List[dict]):
                      for c, v in mpt_np.data.items()},
         "mpt_rows": mpt_np.n_rows,
         "subset": subset,
+        "mpt_span": mpt_np._indexes[subset][2],
     }
     return cols, mpt_tree, meta
 
@@ -557,7 +558,8 @@ def make_state_check_fn(meta):
             else:
                 data[c] = F(jctx, arrs["f"], b)
         mpt = Table(jctx, MPT_SCHEMA, data, meta["mpt_rows"])
-        mpt._indexes[meta["subset"]] = (mpt_tree["fps"], mpt_tree["order"])
+        mpt._indexes[meta["subset"]] = (mpt_tree["fps"], mpt_tree["order"],
+                                        meta.get("mpt_span", 8))
         return check_state_rows(jctx, st, mpt).fail
 
     return fn

@@ -110,24 +110,72 @@ def trunc_limbs(a, n: int):
 # Carry propagation
 # ---------------------------------------------------------------------------
 
-def carry_propagate(xp, cols, out_n: int):
+def _shift_up(xp, hi):
+    """Shift a limb array up one position (dropping the top entry)."""
+    pad = [(0, 0)] * (hi.ndim - 1) + [(1, 0)]
+    return xp.pad(hi[..., :-1], pad)
+
+
+_CHUNK = 16  # limbs per packed carry-resolution word (bits 0..16 of u32)
+
+
+def _resolve_carries(xp, v):
+    """Exact carry resolution for entries bounded by 2^16 (inclusive).
+
+    Packs per-limb generate (v == 2^16) and propagate (v == 2^16-1) flags
+    into u32 bitmask words and resolves arbitrarily long carry chains with
+    one integer addition per 16-limb chunk — the classic carry-lookahead-
+    via-adder trick: carries = B | ((A+B) ^ A ^ B) with A = propagate bits,
+    B = generate bits shifted up one.  O(1) vector ops per chunk instead of
+    a sequential per-limb ripple, which is what keeps both the XLA graph
+    and the TPU critical path small.
+    """
+    n = v.shape[-1]
+    out = []
+    c_in = xp.zeros(v.shape[:-1], dtype=DTYPE)
+    for s in range(0, n, _CHUNK):
+        w = min(_CHUNK, n - s)
+        chunk = v[..., s:s + w]
+        g = (chunk >> LIMB_BITS).astype(DTYPE)          # 0/1 per limb
+        p = (chunk == LIMB_MASK).astype(DTYPE)
+        pw = xp.asarray(np.array([1 << k for k in range(w)], dtype=DTYPE))
+        A = (p * pw).sum(axis=-1, dtype=DTYPE)
+        B = ((g * pw).sum(axis=-1, dtype=DTYPE) << 1) | c_in
+        S = A + B
+        c = B | (S ^ A ^ B)                              # carry into limb k
+        kidx = xp.asarray(np.arange(w, dtype=DTYPE))
+        cbits = ((c[..., None] >> kidx) & 1).astype(DTYPE)
+        out.append(((chunk & LIMB_MASK) + cbits) & LIMB_MASK)
+        c_in = (c >> w) & 1
+    res = out[0] if len(out) == 1 else xp.concatenate(out, axis=-1)
+    return res, c_in
+
+
+def carry_propagate(xp, cols, out_n: int, max_entry_bits: int = 32):
     """Normalize accumulated columns into canonical 16-bit limbs.
 
     ``cols``: [..., m] uint32, each entry < 2^32 with enough headroom that
     carries (< 2^16) never overflow when added.  Returns [..., out_n]
     canonical limbs.  The caller guarantees the true value fits in out_n
     limbs (any residual carry out of the top limb is dropped).
+
+    ``max_entry_bits``: static bound on entry magnitudes; callers whose
+    columns are already <= 2^17 (e.g. plain two-operand adds) skip one
+    ripple pass.
     """
     m = cols.shape[-1]
-    outs = []
-    carry = None
-    for k in range(out_n):
-        v = cols[..., k] if k < m else xp.zeros(cols.shape[:-1], dtype=DTYPE)
-        if carry is not None:
-            v = v + carry
-        outs.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
-    return xp.stack(outs, axis=-1)
+    if m > out_n:
+        cols = cols[..., :out_n]
+    elif m < out_n:
+        cols = pad_limbs(xp, cols, out_n)
+    x = cols
+    # ripple passes bound entries: <2^32 -> <2^17 -> <=2^16
+    if max_entry_bits > 17:
+        x = (x & LIMB_MASK) + _shift_up(xp, x >> LIMB_BITS)
+    if max_entry_bits > 16:
+        x = (x & LIMB_MASK) + _shift_up(xp, x >> LIMB_BITS)
+    res, _ = _resolve_carries(xp, x)
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -139,36 +187,32 @@ def add(xp, a, b, out_n: int):
     n = max(a.shape[-1], b.shape[-1])
     a = pad_limbs(xp, a, n)
     b = pad_limbs(xp, b, n)
-    return carry_propagate(xp, a + b, out_n)
+    return carry_propagate(xp, a + b, out_n, max_entry_bits=17)
 
 
 def sub(xp, a, b) -> Tuple[Any, Any]:
-    """(a - b) mod 2^(16n) plus a borrow flag (1 where a < b)."""
+    """(a - b) mod 2^(16n) plus a borrow flag (1 where a < b).
+
+    Two's-complement form: a + (~b) + 1 over n limbs, with the packed
+    carry-lookahead resolving the chain; the missing carry out of the top
+    limb is the borrow."""
     n = max(a.shape[-1], b.shape[-1])
     a = pad_limbs(xp, a, n)
     b = pad_limbs(xp, b, n)
-    outs = []
-    borrow = xp.zeros(xp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=DTYPE)
-    for k in range(n):
-        # Add 2^16 before subtracting so the arithmetic never wraps in u32.
-        v = LIMB_BASE + a[..., k] - b[..., k] - borrow
-        outs.append(v & LIMB_MASK)
-        borrow = 1 - (v >> LIMB_BITS)
-    return xp.stack(outs, axis=-1), borrow
+    x = a + (LIMB_MASK - b)                    # entries <= 2^17-2
+    one = np.zeros((n + 1,), dtype=DTYPE)
+    one[0] = 1
+    x = pad_limbs(xp, x, n + 1) + xp.asarray(one)  # +1 at limb 0 (<= 2^17-1)
+    x = (x & LIMB_MASK) + _shift_up(xp, x >> LIMB_BITS)
+    d, _ = _resolve_carries(xp, x)
+    carry_out = d[..., n]                      # the 2^(16n) bit of a+~b+1
+    return d[..., :n], (1 - carry_out).astype(DTYPE)
 
 
 def lt(xp, a, b):
     """Boolean a < b (unsigned), elementwise over the batch."""
-    n = max(a.shape[-1], b.shape[-1])
-    a = pad_limbs(xp, a, n)
-    b = pad_limbs(xp, b, n)
-    shape = xp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    res = xp.zeros(shape, dtype=bool)
-    eq = xp.ones(shape, dtype=bool)
-    for k in range(n - 1, -1, -1):
-        res = res | (eq & (a[..., k] < b[..., k]))
-        eq = eq & (a[..., k] == b[..., k])
-    return res
+    _, borrow = sub(xp, a, b)
+    return borrow.astype(bool)
 
 
 def eq(xp, a, b):

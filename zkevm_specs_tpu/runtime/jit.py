@@ -25,7 +25,7 @@ from ..evm.instruction import Instruction
 from ..evm.main import verify_step
 from ..evm.step import StepState, StepStateBatch
 from ..tables.container import Tables
-from ..tables.engine import Table
+from ..tables.engine import Schema, Table
 
 
 # -- tables across the jit boundary ----------------------------------------
@@ -46,11 +46,10 @@ def tables_to_pytree(tables: Tables):
                 cols[cname] = {"lo": v.lo.limbs, "hi": v.hi.limbs}
             else:
                 cols[cname] = {"f": v.limbs}
-        idx = {
-            "/".join(subset): {"fps": fps, "order": order}
-            for subset, (fps, order) in t._indexes.items()
-        }
-        tree[name] = {"cols": cols, "idx": idx}
+        # lookup indexes do NOT cross the jit boundary: compiled kernels
+        # replay lookups as hinted gathers (tables/engine.py), so only the
+        # raw columns ship
+        tree[name] = {"cols": cols}
     return tree
 
 
@@ -84,13 +83,30 @@ def tables_from_pytree(ctx: Ctx, tree, meta) -> Tables:
             else:
                 cols[cname] = F(ctx, arrs["f"], b)
         t = Table(ctx, m["schema"], cols, m["n_rows"])
-        for key, d in tree[name]["idx"].items():
-            t._indexes[tuple(key.split("/"))] = (d["fps"], d["order"])
         setattr(out, name, t)
     return out
 
 
 # -- compiled group verifier ------------------------------------------------
+
+def _freeze(obj):
+    """Recursively hashable view of meta/bits structures for cache keys."""
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_freeze(v) for v in obj)
+    if isinstance(obj, Schema):
+        return (obj.name, tuple(sorted((c, s.kind, s.bits)
+                                       for c, s in obj.columns.items())))
+    return obj
+
+
+# process-level cache of jitted group kernels: the traced graph depends only
+# on (state, flags, signature, batch, column/hint bit bounds, table meta) —
+# NOT on table contents, which ship as runtime arguments — so verifiers built
+# for different witnesses of the same shape share one compiled executable.
+_KERNEL_CACHE: Dict[tuple, object] = {}
+
 
 class CompiledGroupVerifier:
     """Compiles one (execution_state, signature) group of the EVM circuit."""
@@ -126,23 +142,29 @@ class CompiledGroupVerifier:
         curr_bits, next_bits = self.curr_bits, self.next_bits
         st, isf, isl = state, is_first, is_last
 
-        def fn(curr_cols, next_cols, tables_tree, hints):
-            import jax.numpy as jnp
+        cache_key = (int(state), isf, isl, len(steps), tuple(sig),
+                     _freeze(hint_bits), _freeze(curr_bits),
+                     _freeze(next_bits), _freeze(meta))
+        self._jit = _KERNEL_CACHE.get(cache_key)
+        if self._jit is None:
+            def fn(curr_cols, next_cols, tables_tree, hints):
+                import jax.numpy as jnp
 
-            batch = next(iter(curr_cols.values())).shape[0]
-            jctx = Ctx(jnp, batch, "jit")
-            jcs = ConstraintSystem(jctx)
-            jcs.decisions = list(sig)
-            jcs.hint_replay = hints
-            jcs.hint_bits = hint_bits
-            jtables = tables_from_pytree(jctx, tables_tree, meta)
-            jcurr = StepStateBatch.from_columns(jctx, curr_cols, st, curr_bits)
-            jnxt = StepStateBatch.from_columns(jctx, next_cols, None, next_bits)
-            jinst = Instruction(jctx, jcs, jtables, jcurr, jnxt, isf, isl)
-            verify_step(jinst)
-            return jcs.fail
+                batch = next(iter(curr_cols.values())).shape[0]
+                jctx = Ctx(jnp, batch, "jit")
+                jcs = ConstraintSystem(jctx)
+                jcs.decisions = list(sig)
+                jcs.hint_replay = hints
+                jcs.hint_bits = hint_bits
+                jtables = tables_from_pytree(jctx, tables_tree, meta)
+                jcurr = StepStateBatch.from_columns(jctx, curr_cols, st, curr_bits)
+                jnxt = StepStateBatch.from_columns(jctx, next_cols, None, next_bits)
+                jinst = Instruction(jctx, jcs, jtables, jcurr, jnxt, isf, isl)
+                verify_step(jinst)
+                return jcs.fail
 
-        self._jit = jax.jit(fn)
+            self._jit = jax.jit(fn)
+            _KERNEL_CACHE[cache_key] = self._jit
         self.n_constraints = len(cs.records)
         self.n_hints = len(self.hint_bits)
 

