@@ -29,25 +29,30 @@ _BITS = {
 }
 
 
-def verify_copy_table(copy_circuit: CopyCircuit, tables: Tables, r: int,
-                      success: bool = True, xp=np):
-    rows = copy_circuit.table()
-    if not rows:
-        return
-    ctx = Ctx(xp, len(rows), "eager")
-    cs = ConstraintSystem(ctx)
-    tables = tables.with_ctx(ctx)
+def build_copy_cols(ctx: Ctx, rows: List[dict]):
     c = {name: F.from_ints(ctx, [row[name] for row in rows], bits)
          for name, bits in _BITS.items()}
-    id_col = Word.from_ints(ctx, [row["id"] for row in rows])
-    n = len(rows)
+    c["id"] = Word.from_ints(ctx, [row["id"] for row in rows])
+    return c
+
+
+def check_copy(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
+    """The copy-circuit constraint body (reference copy_circuit.py:23-130) —
+    runs eagerly (spec mode) and under jit (production) unchanged."""
+    from ..tables.container import TablesView
+
+    xp = ctx.xp
+    tables = TablesView(ctx, tables)
+    c = {k: v for k, v in cols.items() if k != "id"}
+    id_col = cols["id"]
+    n = ctx.batch
     i1 = (xp.arange(n) + 1) % n
     i2 = (xp.arange(n) + 2) % n
     n1 = {name: v.gather(i1) for name, v in c.items()}
     n2 = {name: v.gather(i2) for name, v in c.items()}
     id1 = id_col.gather(i1)
     id2 = id_col.gather(i2)
-    rf = F.const(ctx, r)
+    rf = F.const(ctx, static["r"])
 
     def tag_flag(name, t):
         cs.constrain_equal(
@@ -154,10 +159,42 @@ def verify_copy_table(copy_circuit: CopyCircuit, tables: Tables, r: int,
     )
     check(m, row.value.lo.eq_mask(c["value"]), "tx log copy value mismatch")
 
-    fail = np.asarray(cs.fail)
-    if success:
-        if fail.any():
-            i = int(np.argmax(fail))
-            raise AssertionError(f"copy row {i}: {cs.first_failure_message()[i]}")
-    else:
-        assert fail.any(), "expected copy circuit to fail"
+
+_LOOKUP_TABLES = ("rw", "bytecode", "tx")
+_LOOKUP_SUBSETS = {
+    "rw": [("rw_counter", "rw", "key0", "id", "address")],
+    "bytecode": [("bytecode_hash", "field_tag", "index", "is_code")],
+    "tx": [("tx_id", "field_tag", "call_data_index_or_zero")],
+}
+
+
+def verify_copy_table(copy_circuit: CopyCircuit, tables: Tables, r: int,
+                      success: bool = True, xp=np):
+    """Spec-mode (eager) driver with reference verdict semantics."""
+    from ..runtime.kernels import run_spec
+
+    rows = copy_circuit.table()
+    if not rows:
+        return
+    ctx = Ctx(xp, len(rows), "eager")
+    cols = build_copy_cols(ctx, rows)
+    tv = {name: getattr(tables.with_ctx(ctx), name) for name in _LOOKUP_TABLES}
+    run_spec("copy", check_copy, cols, tv, {"r": r}, success=success)
+
+
+def copy_kernel(copy_circuit: CopyCircuit, tables: Tables, r: int):
+    """Production path: the same constraint body compiled to one XLA kernel."""
+    from ..runtime.kernels import CircuitKernel
+
+    rows = copy_circuit.table()
+    if not rows:
+        return None
+    ctx = Ctx(np, len(rows), "eager")
+    cols = build_copy_cols(ctx, rows)
+    tv = {}
+    for name in _LOOKUP_TABLES:
+        t = getattr(tables.with_ctx(ctx), name)
+        for s in _LOOKUP_SUBSETS[name]:
+            t.index_for(s)
+        tv[name] = t
+    return CircuitKernel("copy", check_copy, cols, tv, {"r": r})

@@ -41,16 +41,21 @@ def _mul_add_words(cs: ConstraintSystem, ctx: Ctx, a: Word, b: Word, c: Word,
     )
 
 
-def verify_exp_circuit(exp_circuit: ExpCircuit, success: bool = True, xp=np):
-    rows = exp_circuit.table()
-    if not rows:
-        return
-    ctx = Ctx(xp, len(rows), "eager")
-    cs = ConstraintSystem(ctx)
-    c = {name: F.from_ints(ctx, [r[name] for r in rows], bits)
-         for name, bits in _BITS.items()}
-    words = {name: Word.from_ints(ctx, [r[name] for r in rows]) for name in _WORDS}
-    n = len(rows)
+def build_exp_cols(ctx: Ctx, rows: List[dict]):
+    cols = {name: F.from_ints(ctx, [r[name] for r in rows], bits)
+            for name, bits in _BITS.items()}
+    for name in _WORDS:
+        cols[name] = Word.from_ints(ctx, [r[name] for r in rows])
+    return cols
+
+
+def check_exp(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
+    """The exp-circuit constraint body (reference exp_circuit.py:14-86) —
+    runs eagerly (spec mode) and under jit (production) unchanged."""
+    xp = ctx.xp
+    c = {name: cols[name] for name in _BITS}
+    words = {name: cols[name] for name in _WORDS}
+    n = ctx.batch
     i1 = (xp.arange(n) + 1) % n
     n1 = {name: v.gather(i1) for name, v in c.items()}
     w1 = {name: v.gather(i1) for name, v in words.items()}
@@ -96,10 +101,24 @@ def verify_exp_circuit(exp_circuit: ExpCircuit, success: bool = True, xp=np):
     check(is_last, words["base"].eq_mask(words["a"]), "last: a != base")
     check(is_last, words["base"].eq_mask(words["b"]), "last: b != base")
 
-    fail = np.asarray(cs.fail)
-    if success:
-        if fail.any():
-            i = int(np.argmax(fail))
-            raise AssertionError(f"exp row {i}: {cs.first_failure_message()[i]}")
-    else:
-        assert fail.any(), "expected exp circuit to fail"
+
+def verify_exp_circuit(exp_circuit: ExpCircuit, success: bool = True, xp=np):
+    """Spec-mode (eager) driver with reference verdict semantics."""
+    from ..runtime.kernels import run_spec
+
+    rows = exp_circuit.table()
+    if not rows:
+        return
+    ctx = Ctx(xp, len(rows), "eager")
+    run_spec("exp", check_exp, build_exp_cols(ctx, rows), success=success)
+
+
+def exp_kernel(exp_circuit: ExpCircuit):
+    """Production path: the same constraint body compiled to one XLA kernel."""
+    from ..runtime.kernels import CircuitKernel
+
+    rows = exp_circuit.table()
+    if not rows:
+        return None
+    ctx = Ctx(np, len(rows), "eager")
+    return CircuitKernel("exp", check_exp, build_exp_cols(ctx, rows))

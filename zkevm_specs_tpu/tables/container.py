@@ -309,3 +309,16 @@ class Tables:
             },
             enabled=enabled,
         )
+
+
+class TablesView(Tables):
+    """A lightweight subset-of-tables view.
+
+    Circuit kernels ship only the tables they consume across the jit
+    boundary; this view rebinds them under the usual attribute names so the
+    typed lookup wrappers inherited from ``Tables`` work unchanged."""
+
+    def __init__(self, ctx: Ctx, tables: Mapping[str, Table]):
+        self.ctx = ctx
+        for k, v in tables.items():
+            setattr(self, k, v)
