@@ -65,3 +65,38 @@ def test_block_jit_padding_lanes_ignored():
     bv = CompiledBlockVerifier(witness, pad_pow2=True)
     assert all(len(g["curr"]) >= len(g["idxs"]) for g in bv.groups)
     bv.verify()
+
+
+def _full_witness():
+    """A block exercising every sub-circuit kernel: withdrawals (pi + wd),
+    signed txs (tx + sig), bytecode/keccak always."""
+    from zkevm_specs_tpu.circuits.tx import Transaction as SignedTx, sign_tx
+    from zkevm_specs_tpu.witness.typing import Withdrawal
+
+    bc = Bytecode().push1(1).push1(2).add().pop().stop()
+    txs = [(Transaction(id=1, gas=100000, gas_price=int(2e9),
+                        caller_address=0xFE, callee_address=0xFF), bc)]
+    wds = [Withdrawal(0, 9, 0xABCD, 100), Withdrawal(1, 10, 0xABCE, 200)]
+    signed = [sign_tx(7, SignedTx(nonce=0, gas_price=int(2e9), gas=100000,
+                                  to=0xFF, value=0, data=b"", sig_v=0,
+                                  sig_r=0, sig_s=0), 1337)]
+    w = trace_block(Block(base_fee=int(1e9)), txs, withdrawals=wds)
+    w.signed_txs = signed
+    return w, signed
+
+
+def test_block_jit_all_subcircuits():
+    w, signed = _full_witness()
+    verify_super_circuit(w, signed_txs=signed, tx_circuit_params=(2, 8, 1337))
+    bv = CompiledBlockVerifier(w, signed_txs=signed, tx_circuit_params=(2, 8, 1337))
+    assert {n for n, _ in bv.circuit_kernels} == {
+        "bytecode", "keccak", "tx", "sig", "withdrawal", "pi"}
+    bv.verify()
+
+
+def test_block_jit_flags_corrupt_subcircuit():
+    w, signed = _full_witness()
+    w.withdrawals[1].amount = 0  # breaks pi's non-zero-amount rule
+    bv = CompiledBlockVerifier(w, signed_txs=signed, tx_circuit_params=(2, 8, 1337))
+    with pytest.raises(AssertionError):
+        bv.verify()

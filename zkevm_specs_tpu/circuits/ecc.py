@@ -224,3 +224,53 @@ def verify_circuit(circuit: EccCircuit, randomness_keccak: int) -> None:
             circuit.max_add_ops, circuit.max_mul_ops, circuit.max_pairing_ops,
             randomness_keccak, counters,
         )
+
+
+# ---------------------------------------------------------------------------
+# Production path
+# ---------------------------------------------------------------------------
+
+def ecc_kernel(circuit: EccCircuit, randomness_keccak: int):
+    """Compiled ecc check for the block verifier.
+
+    The curve arithmetic itself (bn254 add/mul/pairing, base-field math) runs
+    on the host — exactly the reference's py_ecc chip boundary
+    (reference ecc_circuit.py:48-333) — and each row's chip verdict ships as
+    a witness hint bit; the kernel constrains every verdict bit plus the
+    table-facing row shape.  Returns None when the circuit has no ops."""
+    import numpy as np
+
+    from ..dsl.cs import ConstraintSystem
+    from ..dsl.value import Ctx, F
+    from ..runtime.kernels import CircuitKernel
+
+    rows = circuit2rows(circuit, randomness_keccak)
+    if not rows:
+        return None
+    ok_bits = []
+    counters = {"add": 0, "mul": 0, "pairing": 0}
+    for row in rows:
+        try:
+            row.verify(circuit.max_add_ops, circuit.max_mul_ops,
+                       circuit.max_pairing_ops, randomness_keccak, counters)
+            ok_bits.append(1)
+        except AssertionError:
+            ok_bits.append(0)
+
+    ctx = Ctx(np, len(rows), "eager")
+    cols = {
+        "op_type": F.from_ints(ctx, [r.row["op_type"] for r in rows], 8),
+        "is_valid": F.from_ints(ctx, [r.row["is_valid"] for r in rows], 1),
+    }
+    extra = {"chip_ok": np.asarray(ok_bits, dtype=np.uint8)}
+
+    def check_ecc(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
+        xp = ctx.xp
+        cs.constrain_in_consts(cols["op_type"], [int(EccOpTag.Add),
+                                                 int(EccOpTag.Mul),
+                                                 int(EccOpTag.Pairing)], "op_type")
+        cs.constrain_bool(cols["is_valid"], "is_valid")
+        ok = F(ctx, xp.asarray(extra["chip_ok"]).astype(xp.uint32)[:, None], 1)
+        cs.constrain_equal(ok, F.const(ctx, 1), "ecc chip verification")
+
+    return CircuitKernel("ecc", check_ecc, cols, None, None, extra)

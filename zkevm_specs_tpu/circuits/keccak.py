@@ -5,13 +5,15 @@ hashes with pycryptodome (SURVEY.md §2.3: "the new build needs a real
 keccak-f permutation constraint kernel" — reference util/tables.py:10-33);
 this module provides it: given the witnessed preimages, the circuit
 
-  1. recomputes the running byte-RLC and constrains it against the table's
-     ``input_rlc`` commitment,
+  1. recomputes the running byte-RLC (a Horner scan — `lax.scan` under jit
+     so the compiled graph is O(1) in the preimage length) and constrains
+     it against the table's ``input_rlc`` commitment,
   2. absorbs the padded blocks with the *batched* keccak-f lane kernel
      (u32 ops on the TPU VPU, ops/keccak.py) and constrains the digest
      against the table's ``output`` word,
 
-for every enabled keccak-table row at once.
+for every enabled keccak-table row at once.  The same constraint body runs
+eagerly (spec mode) and compiled (production, via runtime/kernels).
 """
 from __future__ import annotations
 
@@ -21,8 +23,9 @@ import numpy as np
 
 from ..dsl.cs import ConstraintSystem
 from ..dsl.value import Ctx, F, Word
-from ..ops.keccak import keccak256_batch_fixed_blocks
-from ..ops.fr import P
+from ..ops import fr
+from ..ops import limbs as L
+from ..ops.keccak import keccak_f_lanes
 
 RATE = 136
 
@@ -37,96 +40,174 @@ def _pad(data: bytes) -> bytes:
     return bytes(padded)
 
 
-def verify_keccak_circuit(preimages: List[bytes], keccak_rows: List[dict],
-                          keccak_randomness: int, success: bool = True, xp=np):
-    """Verify every enabled keccak-table row against its witnessed preimage.
+def _horner_rlc(ctx: Ctx, byte_cols, active_cols, r: int):
+    """acc = acc * r + byte over [T, n] byte columns, masked by active.
 
-    ``keccak_rows``: the shared keccak table rows ({state_tag, input_rlc,
-    input_len, output}); enabled rows (state_tag == 2) must match the
-    preimages positionally.
-    """
-    enabled = [r for r in keccak_rows if r["state_tag"] == 2]
-    assert len(enabled) == len(preimages), "one preimage per enabled keccak row"
-    if not enabled:
-        return
+    Returns the final [n, 16]-limb Fr accumulator.  Eager mode loops on the
+    host; jit mode uses lax.scan so the compiled graph has one body."""
+    xp = ctx.xp
+    n = byte_cols.shape[1]
+    r = r % fr.P
+    r_width = max((r.bit_length() + 15) // 16, 1)
+    out_n = 16 + r_width + 1  # acc (<2^256) * r fits 16 + r_width limbs
+    r_limbs = xp.asarray(L.int_to_limbs(r, r_width)[None, :])
 
+    def step(acc, inputs):
+        byte_col, active = inputs
+        prod = L.mul(xp, acc, r_limbs, out_n=out_n)
+        byte_limbs = L.pad_limbs(xp, byte_col[:, None].astype(np.uint32), out_n)
+        nxt = fr.reduce_wide(xp, L.add(xp, prod, byte_limbs, out_n + 1))
+        return xp.where(active[:, None], nxt, acc)
+
+    acc = xp.zeros((n, 16), dtype=xp.uint32)
+    if ctx.eager:
+        for j in range(byte_cols.shape[0]):
+            acc = step(acc, (byte_cols[j], active_cols[j]))
+        return acc
+    import jax
+
+    def body(acc, inputs):
+        return step(acc, inputs), None
+
+    acc, _ = jax.lax.scan(body, acc, (byte_cols, active_cols))
+    return acc
+
+
+def _bswap16(xp, v):
+    """Byte-swap the low 16 bits of a u32 array."""
+    return ((v & 0xFF) << 8) | ((v >> 8) & 0xFF)
+
+
+def _digest_to_word(ctx: Ctx, digest) -> Word:
+    """[n, 8] little-endian u32 digest words -> the big-endian 256-bit output
+    Word (lo/hi 128-bit halves as 16-bit limb F's)."""
+    xp = ctx.xp
+    # the output int is the big-endian reading of the 32 digest bytes; its
+    # little-endian 16-bit limbs come from the words in reverse order, each
+    # contributing (bswap16(hi half), bswap16(lo half))
+    def limbs_of(words):  # words: list of [n] u32, most-significant first
+        out = []
+        for w in reversed(words):
+            out.append(_bswap16(xp, (w >> 16) & 0xFFFF))
+            out.append(_bswap16(xp, w & 0xFFFF))
+        return xp.stack(out, axis=-1).astype(xp.uint32)
+
+    lo = F(ctx, limbs_of([digest[:, k] for k in range(4, 8)]), 128)
+    hi = F(ctx, limbs_of([digest[:, k] for k in range(0, 4)]), 128)
+    return Word(lo, hi)
+
+
+def build_keccak_inputs(preimages: List[bytes], enabled_rows: List[dict]):
+    """Columns (table commitments) + extra arrays (byte/block matrices) for
+    the constraint body."""
     n = len(preimages)
-    ctx = Ctx(xp, n, "eager")
-    cs = ConstraintSystem(ctx)
-
+    ctx = Ctx(np, n, "eager")
+    cols = {
+        "input_rlc": F.from_ints(ctx, [r["input_rlc"] for r in enabled_rows]),
+        "input_len": F.from_ints(ctx, [r["input_len"] for r in enabled_rows], 64),
+        "output": Word.from_ints(ctx, [r["output"] for r in enabled_rows]),
+    }
     padded = [_pad(d) for d in preimages]
     max_blocks = max(len(p) // RATE for p in padded)
-
-    # [n, max_blocks, 34] u32 block words (zero blocks beyond each length)
     blocks = np.zeros((n, max_blocks, RATE // 4), dtype=np.uint32)
     for i, p in enumerate(padded):
         arr = np.frombuffer(p, dtype="<u4").reshape(-1, RATE // 4)
         blocks[i, : arr.shape[0]] = arr
-    blocks_x = xp.asarray(blocks)
-
-    # 1. byte-RLC recomputation: acc = acc * r + byte over the raw preimage
-    max_len = max((len(d) for d in preimages), default=0)
-    byte_mat = np.zeros((n, max(max_len, 1)), dtype=np.uint32)
-    len_arr = np.array([len(d) for d in preimages])
+    len_arr = np.array([len(d) for d in preimages], dtype=np.int32)
+    max_len = max(int(len_arr.max()), 1) if n else 1
+    byte_cols = np.zeros((max_len, n), dtype=np.uint8)
     for i, d in enumerate(preimages):
-        byte_mat[i, : len(d)] = np.frombuffer(d, dtype=np.uint8)
-    r_f = F.const(ctx, keccak_randomness)
-    acc = F.const(ctx, 0)
-    byte_mat_x = xp.asarray(byte_mat)
-    for j in range(max_len):
-        byte_f = F(ctx, byte_mat_x[:, j][..., None].astype(np.uint32), 8)
-        active = xp.asarray(j < len_arr)
-        nxt = acc * r_f + byte_f
-        acc = nxt.select(active, acc)
-    input_rlc = F.from_ints(ctx, [r["input_rlc"] for r in enabled])
-    cs.check(acc.eq_mask(input_rlc), lambda: "keccak input_rlc mismatch")
+        byte_cols[: len(d), i] = np.frombuffer(d, dtype=np.uint8)
+    active_cols = np.arange(max_len, dtype=np.int32)[:, None] < len_arr[None, :]
+    n_blocks = np.array([len(p) // RATE for p in padded], dtype=np.int32)
+    extra = {
+        "blocks": blocks,
+        "n_blocks": n_blocks,
+        "len_arr": len_arr,
+        "byte_cols": byte_cols,
+        "active_cols": active_cols,
+    }
+    return ctx, cols, extra
 
-    input_len = F.from_ints(ctx, [r["input_len"] for r in enabled], 64)
+
+def check_keccak(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
+    """The keccak-circuit constraint body — eager (spec) and jit alike."""
+    xp = ctx.xp
+    n = ctx.batch
+    blocks = xp.asarray(extra["blocks"])
+    n_blocks = xp.asarray(extra["n_blocks"])
+    max_blocks = blocks.shape[1]
+
+    # 1. byte-RLC recomputation over the raw preimages
+    acc = _horner_rlc(ctx, xp.asarray(extra["byte_cols"]),
+                      xp.asarray(extra["active_cols"]), static["r"])
+    cs.check(F(ctx, acc, 254).eq_mask(cols["input_rlc"]),
+             lambda: "keccak input_rlc mismatch")
     cs.check(
-        input_len.eq_mask(F.from_ints(ctx, [int(v) for v in len_arr], 64)),
+        cols["input_len"].eq_mask(
+            F(ctx, xp.asarray(extra["len_arr"]).astype(xp.uint32)[:, None], 64)),
         lambda: "keccak input_len mismatch",
     )
 
-    # 2. absorb with the batched lane kernel; select the digest at each
-    # row's block count
-    n_blocks = np.array([len(p) // RATE for p in padded])
-    from ..ops.keccak import keccak_f_lanes
-
+    # 2. sponge: absorb blocks with the batched keccak-f lane kernel, take
+    # the digest at each row's block count
     lo = xp.zeros((n, 25), dtype=xp.uint32)
     hi = xp.zeros((n, 25), dtype=xp.uint32)
     digest = xp.zeros((n, 8), dtype=xp.uint32)
+    zeros = xp.zeros((n,), dtype=xp.uint32)
     for blk in range(max_blocks):
-        block = blocks_x[:, blk, :]
-        xor_lo = [block[:, 2 * l] for l in range(17)] + [xp.zeros((n,), dtype=xp.uint32)] * 8
-        xor_hi = [block[:, 2 * l + 1] for l in range(17)] + [xp.zeros((n,), dtype=xp.uint32)] * 8
-        # only absorb while within this row's block count
-        active = xp.asarray(blk < n_blocks)[:, None]
+        block = blocks[:, blk, :]
+        xor_lo = [block[:, 2 * l] for l in range(17)] + [zeros] * 8
+        xor_hi = [block[:, 2 * l + 1] for l in range(17)] + [zeros] * 8
+        active = (blk < n_blocks)[:, None]
         new_lo = lo ^ xp.where(active, xp.stack(xor_lo, axis=-1), 0)
         new_hi = hi ^ xp.where(active, xp.stack(xor_hi, axis=-1), 0)
         p_lo, p_hi = keccak_f_lanes(xp, new_lo, new_hi)
         lo = xp.where(active, p_lo, lo)
         hi = xp.where(active, p_hi, hi)
-        done = xp.asarray(blk == n_blocks - 1)[:, None]
+        done = (blk == n_blocks - 1)[:, None]
         out = []
         for lane in range(4):
             out.append(lo[:, lane])
             out.append(hi[:, lane])
         digest = xp.where(done, xp.stack(out, axis=-1), digest)
 
-    # digest words (little-endian u32) -> 256-bit big-endian output word
-    digest_np = np.asarray(digest)
-    digests = [
-        int.from_bytes(b"".join(int(v).to_bytes(4, "little") for v in digest_np[i]), "big")
-        for i in range(n)
-    ]
-    output = Word.from_ints(ctx, [r["output"] for r in enabled])
-    computed = Word.from_ints(ctx, digests)
-    cs.check(output.eq_mask(computed), lambda: "keccak output mismatch")
+    computed = _digest_to_word(ctx, digest)
+    cs.check(cols["output"].eq_mask(computed), lambda: "keccak output mismatch")
 
-    fail = np.asarray(cs.fail)
-    if success:
-        if fail.any():
-            i = int(np.argmax(fail))
-            raise AssertionError(f"keccak row {i}: {cs.first_failure_message()[i]}")
-    else:
-        assert fail.any(), "expected keccak circuit to fail"
+
+def verify_keccak_circuit(preimages: List[bytes], keccak_rows: List[dict],
+                          keccak_randomness: int, success: bool = True, xp=np):
+    """Spec-mode (eager) driver with reference verdict semantics.
+
+    ``keccak_rows``: the shared keccak table rows ({state_tag, input_rlc,
+    input_len, output}); enabled rows (state_tag == 2) must match the
+    preimages positionally.
+    """
+    from ..runtime.kernels import run_spec
+
+    enabled = [r for r in keccak_rows if r["state_tag"] == 2]
+    assert len(enabled) == len(preimages), "one preimage per enabled keccak row"
+    if not enabled:
+        return
+    ctx, cols, extra = build_keccak_inputs(preimages, enabled)
+    if xp is not np:
+        ctx = Ctx(xp, ctx.batch, "eager")
+        cols = {k: (v.to_backend(ctx) if isinstance(v, (F, Word)) else v)
+                for k, v in cols.items()}
+    run_spec("keccak", check_keccak, cols, None, {"r": keccak_randomness},
+             extra, success=success)
+
+
+def keccak_kernel(preimages: List[bytes], keccak_rows: List[dict],
+                  keccak_randomness: int):
+    """Production path: the same constraint body compiled to one XLA kernel."""
+    from ..runtime.kernels import CircuitKernel
+
+    enabled = [r for r in keccak_rows if r["state_tag"] == 2]
+    assert len(enabled) == len(preimages), "one preimage per enabled keccak row"
+    if not enabled:
+        return None
+    _, cols, extra = build_keccak_inputs(preimages, enabled)
+    return CircuitKernel("keccak", check_keccak, cols, None,
+                         {"r": keccak_randomness}, extra)

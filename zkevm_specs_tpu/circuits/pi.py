@@ -487,84 +487,126 @@ def _flatten_len(vals: List[bytes]) -> int:
 # verification
 # ---------------------------------------------------------------------------
 
-def verify_circuit(witness: Witness, MAX_TXS: int, MAX_CALLDATA_BYTES: int,
-                   MAX_WITHDRAWALS: int, success: bool = True, xp=np) -> None:
-    try:
-        _verify(witness, MAX_TXS, MAX_CALLDATA_BYTES, MAX_WITHDRAWALS, xp)
-    except AssertionError:
-        if success:
-            raise
-        return
-    assert success, "expected pi circuit to fail, but it passed"
+from ..tables.engine import Col, Schema, Table  # noqa: E402
+from ..tables.schemas import KECCAK_SCHEMA  # noqa: E402
+
+CD_GAS_SCHEMA = Schema(
+    "pi_cd_gas",
+    {"tx_id": Col("f", 32), "is_final": Col("f", 1), "gas_cost": Col("f", 128)},
+)
 
 
-def _verify(witness: Witness, MAX_TXS: int, MAX_CALLDATA_BYTES: int,
-            MAX_WITHDRAWALS: int, xp) -> None:
-    rows = witness.rows
-    copy = list(witness.copy_constrains)
+def _segment_layout(copy_constrains: List[bytes]) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Row positions of every raw-byte segment.
+
+    The witness emits the byte stream segment-by-segment while the row index
+    ``i`` counts DOWN, so in final row order segment j of the stream occupies
+    rows [off_j, off_j+len_j) with its bytes reversed (row off_j holds the
+    least-significant byte).  Returns (idx [n_segs, max_len] of row indices
+    per little-endian byte position, mask of valid positions, lengths)."""
+    lens = [len(s) for s in copy_constrains]
+    n_segs, max_len = len(lens), max(lens)
+    idx = np.zeros((n_segs, max_len), dtype=np.int32)
+    mask = np.zeros((n_segs, max_len), dtype=bool)
+    off = 0
+    for j, L_ in enumerate(lens):
+        idx[j, :L_] = off + np.arange(L_)
+        mask[j, :L_] = True
+        off += L_
+    return idx, mask, np.asarray(lens, dtype=np.int32)
+
+
+def _copy_lhs_values(witness: "Witness", MAX_TXS: int, MAX_CALLDATA_BYTES: int,
+                     MAX_WITHDRAWALS: int) -> List[int]:
+    """The table-side value of every copy constraint, in stream-segment order
+    (reference verify_circuit :338-452)."""
     pi = witness.public_inputs
+    out: List[int] = []
 
-    def pop_int() -> int:
-        return int.from_bytes(copy.pop(0), "big")
+    def emit(value, is_word):
+        if is_word:
+            lo, hi = _lo_hi(value)
+            out.extend([lo, hi])
+        else:
+            out.append(value)
 
-    # digest copy constraint (reference :363)
-    assert rows[0]["rpi_digest"] == pi.pi_keccak, "digest mismatch"
-
-    # block table copy constraints (reference :366-377)
     for i in range(BLOCK_LEN // 2 + 1):
-        value, is_word = witness.block_table[i]
-        lo = pop_int()
-        hi = pop_int() if is_word else 0
-        v_lo, v_hi = _lo_hi(value) if is_word else (value, 0)
-        assert v_lo == lo and v_hi == hi, f"block table copy mismatch at {i}"
-
+        emit(*witness.block_table[i])
     for v in (pi.block_hash, pi.state_root, pi.state_root_prev):
-        lo, hi = pop_int(), pop_int()
-        assert _lo_hi(v) == (lo, hi), "extra field copy mismatch"
-
-    # tx table copy constraints (reference :400-432)
+        emit(v, True)
     tx_len = TX_LEN * MAX_TXS + 1
     for i in range(tx_len):
         tx_id, tag, index, (value, is_word) = witness.tx_table[i]
-        assert tx_id == pop_int(), f"tx id copy mismatch at {i}"
-        assert index == pop_int(), f"tx index copy mismatch at {i}"
-        lo = pop_int()
-        hi = pop_int() if is_word else 0
-        v_lo, v_hi = _lo_hi(value) if is_word else (value, 0)
-        assert v_lo == lo and v_hi == hi, f"tx value copy mismatch at {i}"
+        out.append(tx_id)
+        out.append(index)
+        emit(value, is_word)
     for i in range(MAX_CALLDATA_BYTES):
         _, _, _, (value, is_word) = witness.tx_table[tx_len + i]
-        lo = pop_int()
-        hi = pop_int() if is_word else 0
-        v_lo, v_hi = _lo_hi(value) if is_word else (value, 0)
-        assert v_lo == lo and v_hi == hi, f"calldata copy mismatch at {i}"
-
-    # withdrawal table copy constraints (reference :435-452)
+        emit(value, is_word)
     for i in range(MAX_WITHDRAWALS):
         wd_id, validator_id, address, amount = witness.withdrawal_table[i]
-        assert wd_id == pop_int(), f"wd id copy mismatch at {i}"
-        assert validator_id == pop_int(), f"wd validator copy mismatch at {i}"
-        lo, hi = pop_int(), pop_int()
-        assert _lo_hi(address) == (lo, hi), f"wd address copy mismatch at {i}"
-        assert amount == pop_int(), f"wd amount copy mismatch at {i}"
+        out.append(wd_id)
+        out.append(validator_id)
+        emit(address, True)
+        out.append(amount)
+    return out
 
-    # vectorized per-row gates (reference check_row :150-322)
+
+_SMALL_COLS = [
+    "q_bytes_last", "q_tx_table", "q_tx_calldata", "q_tx_calldata_start",
+    "q_rpi_keccak_lookup", "q_rpi_value_start", "calldata_gas_cost",
+    "is_final", "q_withdrawal_table", "rpi_bytes", "q_rpi_byte_enable",
+    "tx_id", "tx_tag", "tx_index", "wd_id", "wd_validator_id", "wd_amount",
+]
+_WIDE_COLS = ["tx_id_inv", "tx_value_lo_inv", "tx_id_diff_inv",
+              "rpi_bytes_keccakrlc", "rpi_value_lc", "tx_value_lo"]
+
+
+def build_pi_inputs(witness: "Witness", MAX_TXS: int, MAX_CALLDATA_BYTES: int,
+                    MAX_WITHDRAWALS: int):
+    rows = witness.rows
     n = len(rows)
-    ctx = Ctx(xp, n, "eager")
-    cs = ConstraintSystem(ctx)
+    ctx = Ctx(np, n, "eager")
+    cols = {k: F.from_ints(ctx, [r[k] for r in rows], 64) for k in _SMALL_COLS}
+    for k in _WIDE_COLS:
+        cols[k] = F.from_ints(ctx, [r[k] for r in rows], 254)
+    cols["rpi_digest"] = Word.from_ints(ctx, [r["rpi_digest"] for r in rows])
 
-    names_small = [
-        "q_bytes_last", "q_tx_table", "q_tx_calldata", "q_tx_calldata_start",
-        "q_rpi_keccak_lookup", "q_rpi_value_start", "calldata_gas_cost",
-        "is_final", "q_withdrawal_table", "rpi_bytes", "q_rpi_byte_enable",
-        "tx_id", "tx_tag", "tx_index", "wd_id", "wd_validator_id", "wd_amount",
-    ]
-    c = {k: F.from_ints(ctx, [r[k] for r in rows], 64) for k in names_small}
-    for k in ("tx_id_inv", "tx_value_lo_inv", "tx_id_diff_inv",
-              "rpi_bytes_keccakrlc", "rpi_value_lc", "tx_value_lo"):
-        c[k] = F.from_ints(ctx, [r[k] for r in rows], 254)
+    # copy-constraint sides: lhs = table values, rhs gathered from the byte
+    # column at static positions
+    idx, mask, _ = _segment_layout(witness.copy_constrains)
+    lhs = _copy_lhs_values(witness, MAX_TXS, MAX_CALLDATA_BYTES, MAX_WITHDRAWALS)
+    assert len(lhs) == idx.shape[0], "copy-constraint count mismatch"
+    from ..ops import limbs as L
+
+    extra = {
+        "copy_idx": idx,
+        "copy_mask": mask.astype(np.uint8),
+        "copy_lhs": L.ints_to_limbs([v % P for v in lhs], 16),
+    }
+    tables = {
+        "keccak": Table.from_rows(
+            ctx, KECCAK_SCHEMA,
+            [{"state_tag": 2 if en else 0, "input_rlc": rlc, "input_len": ln,
+              "output": out} for (en, rlc, ln, out) in witness.keccak_table]),
+        "cd_gas": Table.from_rows(
+            ctx, CD_GAS_SCHEMA,
+            [{"tx_id": t, "is_final": f, "gas_cost": g}
+             for (t, f, g) in witness.calldata_gas_cost_table]),
+    }
+    static = {"circuit_len": witness.circuit_len}
+    return ctx, cols, tables, static, extra
+
+
+def check_pi(ctx: Ctx, cs: ConstraintSystem, c, tables, static, extra):
+    """The pi-circuit constraint body (reference check_row :150-322 plus the
+    copy constraints :338-452) — eager (spec) and jit alike."""
+    from ..ops import limbs as L
+
+    xp = ctx.xp
+    n = ctx.batch
     idx1 = (xp.arange(n) + 1) % n
-    nx = {k: v.gather(idx1) for k, v in c.items()}
+    nx = {k: v.gather(idx1) for k, v in c.items() if k != "rpi_digest"}
 
     def check(mask, ok, msg):
         cs.check(ok | ~mask, lambda: msg)
@@ -590,13 +632,39 @@ def _verify(witness: Witness, MAX_TXS: int, MAX_CALLDATA_BYTES: int,
     )
     check(en & start, c["rpi_value_lc"].eq_mask(c["rpi_bytes"]), "value lc start mismatch")
 
-    # gate 5: keccak lookup on row 0 (host-side set membership)
-    from ..witness.rlc import RLC as _RLC
+    # gate 5: keccak lookup binding the digest to the whole byte column
+    # (reference :363 + :193-203)
+    q_keccak = ~c["q_rpi_keccak_lookup"].is_zero_mask()
+    tables["keccak"].lookup(
+        cs,
+        {
+            "state_tag": F.const(ctx, 2),
+            "input_rlc": c["rpi_bytes_keccakrlc"],
+            "input_len": F.const(ctx, static["circuit_len"]),
+            "output": c["rpi_digest"],
+        },
+        enabled=q_keccak,
+    )
 
-    r0 = rows[0]
-    if r0["q_rpi_keccak_lookup"]:
-        key = (1, r0["rpi_bytes_keccakrlc"], witness.circuit_len, r0["rpi_digest"])
-        assert key in witness.keccak_table, "rpi digest keccak lookup failed"
+    # copy constraints: every table value equals the big-endian integer of
+    # its raw-byte segment (reference :366-452).  rhs is recomputed from the
+    # byte column by static-position gathers; bytes are little-endian along
+    # the gather axis so limb k packs positions 2k / 2k+1.
+    byte_arr = c["rpi_bytes"].limbs[..., 0]
+    copy_idx = xp.asarray(extra["copy_idx"])
+    copy_mask = xp.asarray(extra["copy_mask"]).astype(xp.uint32)
+    gathered = byte_arr[copy_idx] * copy_mask  # [n_segs, max_len]
+    max_len = gathered.shape[1]
+    limb_list = []
+    for k in range((max_len + 1) // 2):
+        lo_b = gathered[:, 2 * k]
+        hi_b = gathered[:, 2 * k + 1] if 2 * k + 1 < max_len else 0
+        limb_list.append(lo_b | (hi_b << 8))
+    rhs = xp.stack(limb_list, axis=-1)
+    lhs = xp.asarray(extra["copy_lhs"])
+    copies_ok = xp.all(L.eq(xp, rhs, lhs))
+    cs.check(xp.broadcast_to(copies_ok, (n,)),
+             lambda: "copy constraint violated (table value != raw bytes)")
 
     one = F.const(ctx, 1)
     # calldata region constraints (reference :207-293)
@@ -676,17 +744,15 @@ def _verify(witness: Witness, MAX_TXS: int, MAX_CALLDATA_BYTES: int,
     calldata_cost = nx["tx_value_lo"]
     check(m_tx, (is_cdl_row * is_cdl_zero * calldata_cost).is_zero_mask(),
           "zero calldata length with nonzero cost")
-    # gas-cost accumulator lookup (host-side set, per row under mask)
-    q_cond = np.asarray((is_cdl_row * is_cdl_nonzero).limbs[..., 0] == 1)
-    m_tx_np = np.asarray(~c["q_tx_table"].is_zero_mask())
-    tx_ids_np = [r["tx_id"] for r in rows]
-    costs_np = [rows[(j + 1) % n]["tx_value_lo"] for j in range(n)]
-    for j in range(n):
-        if m_tx_np[j] and q_cond[j]:
-            key = (tx_ids_np[j], 1, costs_np[j])
-            assert key in witness.calldata_gas_cost_table, (
-                f"calldata gas acc lookup failed at row {j}: {key}"
-            )
+    # gas-cost accumulator lookup against the calldata-region totals
+    # (reference :308-313) — a columnar table lookup under the row mask
+    q_gas = m_tx & is_cdl_row.eq_mask(one) & is_cdl_nonzero.eq_mask(one)
+    tables["cd_gas"].lookup(
+        cs,
+        {"tx_id": c["tx_id"], "is_final": F.const(ctx, 1),
+         "gas_cost": calldata_cost},
+        enabled=q_gas,
+    )
 
     # withdrawal region (reference :316-320)
     m_wd = ~c["q_withdrawal_table"].is_zero_mask()
@@ -695,7 +761,36 @@ def _verify(witness: Witness, MAX_TXS: int, MAX_CALLDATA_BYTES: int,
           "withdrawal id not incremented")
     check(m_wd, ~c["wd_amount"].is_zero_mask(), "withdrawal amount is zero")
 
-    fail = np.asarray(cs.fail)
-    if fail.any():
-        j = int(np.argmax(fail))
-        raise AssertionError(f"pi row {j}: {cs.first_failure_message()[j]}")
+
+_PI_LOOKUP_SUBSETS = {
+    "keccak": tuple(KECCAK_SCHEMA.columns),
+    "cd_gas": tuple(CD_GAS_SCHEMA.columns),
+}
+
+
+def verify_circuit(witness: Witness, MAX_TXS: int, MAX_CALLDATA_BYTES: int,
+                   MAX_WITHDRAWALS: int, success: bool = True, xp=np) -> None:
+    """Spec-mode (eager) driver with reference verdict semantics."""
+    from ..runtime.kernels import run_spec
+
+    try:
+        ctx, cols, tables, static, extra = build_pi_inputs(
+            witness, MAX_TXS, MAX_CALLDATA_BYTES, MAX_WITHDRAWALS)
+        run_spec("pi", check_pi, cols, tables, static, extra)
+    except AssertionError:
+        if success:
+            raise
+        return
+    assert success, "expected pi circuit to fail, but it passed"
+
+
+def pi_kernel(witness: Witness, MAX_TXS: int, MAX_CALLDATA_BYTES: int,
+              MAX_WITHDRAWALS: int):
+    """Production path: the same constraint body compiled to one XLA kernel."""
+    from ..runtime.kernels import CircuitKernel
+
+    _, cols, tables, static, extra = build_pi_inputs(
+        witness, MAX_TXS, MAX_CALLDATA_BYTES, MAX_WITHDRAWALS)
+    for name, t in tables.items():
+        t.index_for(_PI_LOOKUP_SUBSETS[name])
+    return CircuitKernel("pi", check_pi, cols, tables, static, extra)

@@ -1,16 +1,27 @@
 """Sig circuit — verifies signature rows against the keccak table and ECDSA
 (reference: src/zkevm_specs/sig_circuit.py:1-122).
 
-The ECDSA check itself is host-side (like the reference's eth_keys call);
-the table-facing columns feed the sig_table consumed by the ecRecover
-precompile gadget.
+TPU-native re-design: all signature rows are checked in ONE batched
+constraint body (``check_signverify``) that runs eagerly (spec mode) and
+compiled (production, via runtime/kernels) — the keccak(pk) link is a
+columnar keccak-table lookup, the address binding is a limb decomposition,
+and the pk-bytes RLC is a Horner scan.  The ECDSA verdict itself is
+computed on the host (like the reference's eth_keys call inside
+ECDSAVerifyChip, reference util/ec.py:59-117) and shipped as a witness hint
+bit that the kernel constrains against ``is_valid``.
 """
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Set, Tuple
+from typing import Dict, List, NamedTuple, Optional, Set, Tuple
 
+import numpy as np
+
+from ..dsl.cs import ConstraintSystem
+from ..dsl.value import Ctx, F, Word
 from ..ops.ecc import secp256k1
 from ..ops.keccak import keccak256
+from ..tables.engine import Table
+from ..tables.schemas import KECCAK_SCHEMA
 from ..witness.rlc import RLC, linear_combine_bytes
 
 
@@ -67,28 +78,6 @@ class SigRow:
         v, r, s_ = signature
         return cls(pub_key, int.from_bytes(msg_hash, "big"), v, r, s_, is_valid)
 
-    def verify(self, keccak_table: KeccakTable, keccak_randomness: int, assert_msg: str):
-        # 1. v is 0 or 1
-        assert self.sig_v in (0, 1), f"{assert_msg}: v not boolean"
-
-        # 2. keccak(pub_key_bytes) == pub_key_hash via keccak table
-        pk_bytes = secp256k1.pubkey_bytes(self.pub_key)
-        keccak_table.lookup(
-            1,
-            RLC(bytes(reversed(pk_bytes)), keccak_randomness, n_bytes=64).expr(),
-            64,
-            int.from_bytes(self.pub_key_hash, "big"),
-            assert_msg,
-        )
-
-        # 3. low 20 bytes of pub_key_hash == recovered_addr
-        addr = int.from_bytes(self.pub_key_hash[-20:], "big")
-        assert addr == self.recovered_addr, f"{assert_msg}: address mismatch"
-
-        # 4+5. ECDSA verification matches is_valid
-        ok = secp256k1.verify(self.msg_hash, self.sig_r, self.sig_s, self.pub_key)
-        assert ok == self.is_valid, f"{assert_msg}: ecdsa validity mismatch"
-
     def table_row(self) -> dict:
         return {
             "msg_hash": self.msg_hash,
@@ -105,6 +94,127 @@ class Witness(NamedTuple):
     keccak_table: KeccakTable
 
 
-def verify_circuit(witness: Witness, keccak_randomness: int) -> None:
-    for i, row in enumerate(witness.rows):
-        row.verify(witness.keccak_table, keccak_randomness, f"Constraints failed at row = {i}")
+# ---------------------------------------------------------------------------
+# Batched sign-verify constraint body (shared with the tx circuit)
+# ---------------------------------------------------------------------------
+
+def build_signverify_inputs(
+    ctx: Ctx,
+    pub_keys: List[Tuple[int, int]],
+    pub_key_hashes: List[bytes],
+    recovered_addrs: List[int],
+    enabled: List[int],
+    msg_hashes: List[int],
+    sigs: List[Tuple[int, int]],
+    is_valid: List[int],
+):
+    """Columns + host-crypto hint arrays for ``check_signverify``."""
+    n = len(pub_keys)
+    cols: Dict[str, object] = {
+        "pk_hash": Word.from_ints(ctx, [int.from_bytes(h, "big") for h in pub_key_hashes]),
+        "recovered_addr": F.from_ints(ctx, recovered_addrs, 160),
+        "enabled": F.from_ints(ctx, enabled, 1),
+        "is_valid": F.from_ints(ctx, is_valid, 1),
+    }
+    pk_byte_cols = np.zeros((64, n), dtype=np.uint8)
+    for i, pk in enumerate(pub_keys):
+        pk_byte_cols[:, i] = np.frombuffer(secp256k1.pubkey_bytes(pk), dtype=np.uint8)
+    # host crypto: the ECDSA verdict bit per row (reference chip behavior)
+    ecdsa_ok = np.array(
+        [int(secp256k1.verify(h, r, s, pk))
+         for h, (r, s), pk in zip(msg_hashes, sigs, pub_keys)],
+        dtype=np.uint8,
+    )
+    extra = {"pk_byte_cols": pk_byte_cols, "ecdsa_ok": ecdsa_ok}
+    return cols, extra
+
+
+def check_signverify(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
+    """keccak(pk) == pk_hash via table lookup, address == pk_hash[-20:], and
+    the host ECDSA verdict == is_valid — all rows at once.  Lanes with
+    ``enabled == 0`` (padding) are unconstrained except for the validity bit
+    (padding uses the always-valid dummy signature, reference
+    tx_circuit.py:405-413)."""
+    from .keccak import _horner_rlc
+
+    xp = ctx.xp
+    en = ~cols["enabled"].is_zero_mask()
+
+    # 1. keccak(pk_bytes) == pk_hash through the keccak table
+    pk_byte_cols = xp.asarray(extra["pk_byte_cols"])
+    active = xp.ones(pk_byte_cols.shape, dtype=bool)
+    rlc = F(ctx, _horner_rlc(ctx, pk_byte_cols, active, static["r"]), 254)
+    tables["keccak"].lookup(
+        cs,
+        {
+            "state_tag": F.const(ctx, 2),
+            "input_rlc": rlc,
+            "input_len": F.const(ctx, 64),
+            "output": cols["pk_hash"],
+        },
+        enabled=en,
+    )
+
+    # 2. recovered_addr == low 20 bytes of pk_hash
+    addr_hi, addr_lo = cols["recovered_addr"].split_pow2(128, 32)
+    hash_hi_low32 = cols["pk_hash"].hi.split_pow2(32, 96)[1]
+    cs.check(addr_lo.eq_mask(cols["pk_hash"].lo) | ~en,
+             lambda: "address lo != pk_hash lo")
+    cs.check(addr_hi.eq_mask(hash_hi_low32) | ~en,
+             lambda: "address hi != pk_hash bytes 12..16")
+
+    # 3. host ECDSA verdict matches the is_valid column (all lanes: padding
+    # rows carry the dummy valid signature)
+    ok = F(ctx, xp.asarray(extra["ecdsa_ok"]).astype(xp.uint32)[:, None], 1)
+    cs.check(ok.eq_mask(cols["is_valid"]), lambda: "ecdsa validity mismatch")
+
+
+def _sig_inputs(witness: Witness, ctx: Ctx):
+    rows = witness.rows
+    cols, extra = build_signverify_inputs(
+        ctx,
+        [row.pub_key for row in rows],
+        [row.pub_key_hash for row in rows],
+        [row.recovered_addr for row in rows],
+        [1] * len(rows),
+        [row.msg_hash for row in rows],
+        [(row.sig_r, row.sig_s) for row in rows],
+        [int(row.is_valid) for row in rows],
+    )
+    cols["sig_v"] = F.from_ints(ctx, [row.sig_v for row in rows], 8)
+    return cols, extra
+
+
+def check_sig(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
+    """Full sig-circuit body: v boolean + the shared sign-verify rules
+    (reference sig_circuit.py Row.verify :63-105)."""
+    cs.constrain_bool(cols["sig_v"], "sig_v")
+    check_signverify(ctx, cs, cols, tables, static, extra)
+
+
+def verify_circuit(witness: Witness, keccak_randomness: int,
+                   success: bool = True) -> None:
+    """Spec-mode (eager) driver with reference verdict semantics."""
+    from ..runtime.kernels import run_spec
+
+    if not witness.rows:
+        return
+    ctx = Ctx(np, len(witness.rows), "eager")
+    cols, extra = _sig_inputs(witness, ctx)
+    keccak = Table.from_rows(ctx, KECCAK_SCHEMA, witness.keccak_table.rows())
+    run_spec("sig", check_sig, cols, {"keccak": keccak},
+             {"r": keccak_randomness}, extra, success=success)
+
+
+def sig_kernel(witness: Witness, keccak_randomness: int):
+    """Production path: the same constraint body compiled to one XLA kernel."""
+    from ..runtime.kernels import CircuitKernel
+
+    if not witness.rows:
+        return None
+    ctx = Ctx(np, len(witness.rows), "eager")
+    cols, extra = _sig_inputs(witness, ctx)
+    keccak = Table.from_rows(ctx, KECCAK_SCHEMA, witness.keccak_table.rows())
+    keccak.index_for(tuple(KECCAK_SCHEMA.columns))
+    return CircuitKernel("sig", check_sig, cols, {"keccak": keccak},
+                         {"r": keccak_randomness}, extra)

@@ -118,6 +118,61 @@ def rw_rows_to_state_ops(rw_rows: List[dict]) -> List[Operation]:
     return ops
 
 
+def public_data_from_witness(witness: BlockWitness, MAX_WITHDRAWALS: int):
+    """Build the pi-circuit PublicData view of a block witness: the same
+    Block/Transaction data the EVM tables carry, plus the (mocked, as in the
+    reference) header fields the EVM circuit never consumes."""
+    from .pi import Block as PiBlock, PublicData
+    from .pi import Transaction as PiTransaction, Withdrawal as PiWithdrawal
+
+    b = witness.block
+    hashes = ([0] * (256 - len(b.history_hashes)) + list(b.history_hashes))
+    pi_block = PiBlock(
+        hash=0, parent_hash=hashes[-1] if hashes else 0, uncle_hash=0,
+        coinbase=b.coinbase, state_root=0, tx_hash=0, receipt_hash=0,
+        bloom=bytes(256), prev_randao=b.prev_randao, number=b.number,
+        gas_limit=b.gas_limit, gas_used=0, time=b.timestamp, extra=b"",
+        mix_digest=0, nonce=0, base_fee=b.base_fee,
+        withdrawals_root=b.withdrawal_root,
+    )
+    pi_txs = [
+        PiTransaction(nonce=tx.nonce, gas_price=tx.gas_price, gas=tx.gas,
+                      from_addr=tx.caller_address, to_addr=tx.callee_address,
+                      value=tx.value, data=bytes(tx.call_data),
+                      tx_sign_hash=1234)  # mock, as in reference typing.py:265
+        for tx in witness.txs
+    ]
+    pi_wds = [PiWithdrawal(wd.id, wd.validator_id, wd.address, wd.amount)
+              for wd in witness.withdrawals]
+    while len(pi_wds) < MAX_WITHDRAWALS:
+        pi_wds.append(PiWithdrawal(0, 0, 0, 0))
+    return PublicData(chain_id=witness.block.chainid, block=pi_block,
+                      state_root_prev=0, block_hashes=hashes, txs=pi_txs,
+                      withdrawals=pi_wds)
+
+
+def sig_witness_from_txs(signed_txs, chain_id: int, keccak_randomness: int):
+    """Sig-circuit rows for a block's signed txs (the sig table the
+    ecRecover precompile consumes; reference sig_circuit.py)."""
+    from ..ops.keccak import keccak256
+    from ..witness.rlp import rlp_encode
+    from ..ops.ecc import secp256k1
+    from .sig import KeccakTable as SigKeccakTable, SigRow
+    from .sig import Witness as SigWitness
+
+    kt = SigKeccakTable()
+    rows = []
+    for tx in signed_txs:
+        sign_data = rlp_encode([tx.nonce, tx.gas_price, tx.gas, tx.encode_to(),
+                                tx.value, tx.data, chain_id, 0, 0])
+        h = keccak256(sign_data)
+        parity = tx.sig_v - 35 - chain_id * 2
+        pk = secp256k1.recover(int.from_bytes(h, "big"), parity, tx.sig_r, tx.sig_s)
+        kt.add(secp256k1.pubkey_bytes(pk), keccak_randomness)
+        rows.append(SigRow.assign((parity, tx.sig_r, tx.sig_s), pk, h))
+    return SigWitness(rows, kt)
+
+
 def verify_super_circuit(
     witness: BlockWitness,
     keccak_randomness: int = 0x64,
@@ -132,6 +187,10 @@ def verify_super_circuit(
     codes = [bytes(bc.code) for bc in witness.bytecodes]
     keccak_rows = assign_keccak_table(codes, keccak_randomness)
 
+    copy_circuit = copy_circuit if copy_circuit is not None else witness.copy_circuit
+    exp_circuit = exp_circuit if exp_circuit is not None else witness.exp_circuit
+    signed_txs = signed_txs if signed_txs is not None else witness.signed_txs
+
     kwargs = witness.tables_kwargs()
     if copy_circuit is not None:
         from ..witness.typing import copy_circuit_to_table
@@ -141,13 +200,19 @@ def verify_super_circuit(
         from ..witness.typing import exp_circuit_to_table
 
         kwargs["exp_table"] = exp_circuit_to_table(exp_circuit)
+    if witness.ecc_circuit is not None:
+        from .ecc import ecc_table_rows
+
+        kwargs["ecc_table"] = ecc_table_rows(witness.ecc_circuit, keccak_randomness)
     kwargs["keccak_table"] = keccak_rows
     tables = Tables(**kwargs)
 
     # 1. EVM circuit over all steps.  begin_with_first_step is off because
     # the block witness carries a call-context setup prologue in the rw
-    # table (see witness/tracer.py), so BeginTx starts past rw_counter 1.
+    # table (see witness/tracer.py), so BeginTx starts past rw_counter 1;
+    # the prologue itself is constrained by verify_prologue below.
     verify_steps(tables, list(witness.steps), end_with_last_step=True)
+    verify_prologue(witness)
 
     # 2. state circuit proves the rw table
     ops = rw_rows_to_state_ops(witness.rw.rws)
@@ -168,11 +233,75 @@ def verify_super_circuit(
     if exp_circuit is not None:
         verify_exp_circuit(exp_circuit)
 
-    # 6. tx circuit proves signatures when signed txs are supplied
+    # 6. tx + sig circuits prove signatures when signed txs are supplied
     if signed_txs is not None:
         from .tx import txs2witness, verify_circuit as verify_tx_circuit
+        from .sig import verify_circuit as verify_sig_circuit
 
         max_txs, max_calldata, chain_id = tx_circuit_params
         tx_witness = txs2witness(signed_txs, chain_id, max_txs, max_calldata,
                                  keccak_randomness)
         verify_tx_circuit(tx_witness, max_txs, max_calldata, keccak_randomness)
+        verify_sig_circuit(sig_witness_from_txs(signed_txs, chain_id,
+                                                keccak_randomness),
+                           keccak_randomness)
+
+    # 7. ecc circuit proves the ecc table
+    if witness.ecc_circuit is not None:
+        from .ecc import verify_circuit as verify_ecc_circuit
+
+        verify_ecc_circuit(witness.ecc_circuit, keccak_randomness)
+
+    # 8. pi + withdrawal circuits commit the public data (the reference pi
+    # layout requires every withdrawal slot filled — pi_circuit.py:318-321 —
+    # so these run when the block carries withdrawals)
+    if witness.withdrawals:
+        from .pi import public_data2witness, verify_circuit as verify_pi_circuit
+        from .withdrawal import verify_circuit as verify_wd_circuit
+        from .withdrawal import withdrawals2witness
+
+        n_wd = len(witness.withdrawals)
+        wd_witness = withdrawals2witness(witness.withdrawals, n_wd,
+                                         keccak_randomness,
+                                         kwargs["block_table"])
+        verify_wd_circuit(wd_witness, n_wd, keccak_randomness)
+
+        max_txs = len(witness.txs)
+        max_calldata = max(1, sum(len(tx.call_data) for tx in witness.txs))
+        pd = public_data_from_witness(witness, n_wd)
+        pi_witness = public_data2witness(pd, max_txs, max_calldata, n_wd)
+        verify_pi_circuit(pi_witness, max_txs, max_calldata, n_wd)
+
+
+def verify_prologue(witness: BlockWitness) -> None:
+    """Constrain the call-context setup prologue the tracer prepends
+    (witness/tracer.py trace_block): rw counters 1..10*n_txs must be exactly
+    the canonical per-tx setup writes.  Together with the EVM circuit's
+    first-step rule this pins the whole rw-counter space (the integrated-
+    witness extension of reference evm_circuit/main.py:48-53)."""
+    from ..tables.schemas import CallContextFieldTag as CC
+    from ..witness.tracer import _N_SETUP_ROWS
+
+    rws = sorted(witness.rw.rws, key=lambda r: r["rw_counter"])
+    rws = [r for r in rws if r["key0"] != int(Target.Start)]
+    expected_tags = (
+        CC.TxId, CC.IsPersistent, CC.IsSuccess, CC.Depth, CC.CallerAddress,
+        CC.CalleeAddress, CC.CallDataLength, CC.Value, CC.IsRoot, CC.CodeHash,
+    )
+    for i, tx in enumerate(witness.txs):
+        bytecode = witness.bytecodes[i]
+        expected_values = (
+            tx.id, 1, 1, 1, tx.caller_address, tx.callee_address,
+            len(tx.call_data), tx.value, 1, bytecode.hash(),
+        )
+        for k, (tag, value) in enumerate(zip(expected_tags, expected_values)):
+            row = rws[i * _N_SETUP_ROWS + k]
+            assert row["rw_counter"] == 1 + i * _N_SETUP_ROWS + k, (
+                f"prologue row {k} of tx {tx.id}: bad rw_counter")
+            assert (row["key0"], row["rw"]) == (int(Target.CallContext), 1), (
+                f"prologue row {k} of tx {tx.id}: not a call-context write")
+            # call-context rows pack the field tag in the address column
+            assert row["address"] == int(tag), (
+                f"prologue row {k} of tx {tx.id}: tag {row['address']} != {int(tag)}")
+            assert row["value"] == value, (
+                f"prologue row {k} of tx {tx.id}: value mismatch for {tag!r}")

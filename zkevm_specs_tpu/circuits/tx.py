@@ -2,14 +2,23 @@
 (reference: src/zkevm_specs/tx_circuit.py:1-478).
 
 RLP-encodes sign data, recovers the public key, links address =
-keccak(pk)[-20:] through the keccak table, and verifies ECDSA per tx.
+keccak(pk)[-20:] through the keccak table, and verifies ECDSA.  All txs are
+checked in ONE batched constraint body (the shared ``check_signverify`` of
+circuits/sig.py plus the tx-table copy constraints) that runs eagerly (spec
+mode) and compiled (production, via runtime/kernels).
 """
 from __future__ import annotations
 
 from typing import List, NamedTuple, Optional, Tuple, Union
 
+import numpy as np
+
+from ..dsl.cs import ConstraintSystem
+from ..dsl.value import Ctx, F, Word
 from ..ops.ecc import secp256k1
 from ..ops.keccak import keccak256
+from ..tables.engine import Table
+from ..tables.schemas import KECCAK_SCHEMA
 from ..tables.schemas import TxContextFieldTag as Tag
 from ..utils.param import (
     GAS_COST_TX_CALL_DATA_PER_NON_ZERO_BYTE,
@@ -17,7 +26,7 @@ from ..utils.param import (
 )
 from ..witness.rlc import RLC, linear_combine_bytes
 from ..witness.rlp import rlp_encode
-from .sig import KeccakTable
+from .sig import KeccakTable, build_signverify_inputs, check_signverify
 
 
 class Row(NamedTuple):
@@ -49,59 +58,72 @@ class SignVerifyChip:
         h = int.from_bytes(msg_hash, "big")
         return cls(pub_key_hash, address, h, signature, pub_key, h)
 
-    def verify(self, keccak_table: KeccakTable, keccak_randomness: int, assert_msg: str):
-        is_not_padding = 0 if self.address == 0 else 1
-
-        # 1. keccak(pub_key) == pub_key_hash (disabled for padding)
-        pk_bytes = secp256k1.pubkey_bytes(self.pub_key)
-        rlc = RLC(bytes(reversed(pk_bytes)), keccak_randomness, n_bytes=64).expr()
-        keccak_table.lookup(
-            is_not_padding,
-            rlc if is_not_padding else 0,
-            64 * is_not_padding,
-            int.from_bytes(self.pub_key_hash, "big") if is_not_padding else 0,
-            assert_msg,
-        )
-
-        # 2. low 20 bytes of hash == address
-        addr = linear_combine_bytes(list(reversed(self.pub_key_hash[-20:])), 1 << 8,
-                                    range_check=False)
-        assert addr == self.address, f"{assert_msg}: address mismatch"
-
-        # 3. signed message == msg_hash (masked for padding)
-        assert (self.msg_hash_int if is_not_padding else 0) == (
-            self.msg_hash if is_not_padding else 0
-        ), f"{assert_msg}: msg hash mismatch"
-
-        # 4. ECDSA verification
-        assert secp256k1.verify(
-            self.msg_hash_int, self.signature[0], self.signature[1], self.pub_key
-        ), f"{assert_msg}: ecdsa_verify failed"
-
-
 class Witness(NamedTuple):
     rows: List[Row]
     keccak_table: KeccakTable
     sign_verifications: List[SignVerifyChip]
 
 
-def verify_circuit(witness: Witness, MAX_TXS: int, MAX_CALLDATA_BYTES: int,
-                   keccak_randomness: int) -> None:
-    """Reference tx_circuit.py:253-291."""
+def _tx_inputs(witness: Witness, MAX_TXS: int, ctx: Ctx):
+    """Columns + host-crypto hints for ``check_tx`` (one lane per tx slot,
+    reference tx_circuit.py:253-291 layout)."""
     rows = witness.rows
-    sign_verifications = witness.sign_verifications
-    keccak_table = witness.keccak_table
+    chips = witness.sign_verifications
+    cols, extra = build_signverify_inputs(
+        ctx,
+        [c.pub_key for c in chips],
+        [c.pub_key_hash for c in chips],
+        [c.address for c in chips],
+        [0 if c.address == 0 else 1 for c in chips],
+        [c.msg_hash_int for c in chips],
+        [c.signature for c in chips],
+        [1] * MAX_TXS,  # every chip (incl. the dummy-signed padding) verifies
+    )
+    caller_values, hash_values, chip_hashes = [], [], []
     for tx_index in range(MAX_TXS):
-        assert_msg = f"Constraints failed for tx_index = {tx_index}"
         tx_row_index = tx_index * int(Tag.TxSignHash)
-        caller_addr_index = tx_row_index + int(Tag.CallerAddress) - 1
-        tx_sign_hash_index = tx_row_index + int(Tag.TxSignHash) - 1
+        caller_values.append(rows[tx_row_index + int(Tag.CallerAddress) - 1].value)
+        hash_values.append(rows[tx_row_index + int(Tag.TxSignHash) - 1].value)
+        chip_hashes.append(chips[tx_index].msg_hash)
+    cols["caller_addr_value"] = F.from_ints(ctx, caller_values, 160)
+    cols["tx_sign_hash_value"] = Word.from_ints(ctx, hash_values)
+    cols["msg_hash"] = Word.from_ints(ctx, chip_hashes)
+    return cols, extra
 
-        sign_verifications[tx_index].verify(keccak_table, keccak_randomness, assert_msg)
 
-        assert rows[caller_addr_index].value == sign_verifications[tx_index].address, assert_msg
-        sv_hash = sign_verifications[tx_index].msg_hash
-        assert rows[tx_sign_hash_index].value == sv_hash, assert_msg
+def check_tx(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
+    """Tx-circuit constraint body: the shared sign-verify rules plus the
+    copy constraints binding the tx-table rows to the chips
+    (reference tx_circuit.py:253-291)."""
+    check_signverify(ctx, cs, cols, tables, static, extra)
+    cs.constrain_equal(cols["caller_addr_value"], cols["recovered_addr"],
+                       "tx caller address vs recovered address")
+    cs.constrain_equal_word(cols["tx_sign_hash_value"], cols["msg_hash"],
+                            "tx sign hash vs signed message hash")
+
+
+def verify_circuit(witness: Witness, MAX_TXS: int, MAX_CALLDATA_BYTES: int,
+                   keccak_randomness: int, success: bool = True) -> None:
+    """Spec-mode (eager) driver with reference verdict semantics."""
+    from ..runtime.kernels import run_spec
+
+    ctx = Ctx(np, MAX_TXS, "eager")
+    cols, extra = _tx_inputs(witness, MAX_TXS, ctx)
+    keccak = Table.from_rows(ctx, KECCAK_SCHEMA, witness.keccak_table.rows())
+    run_spec("tx", check_tx, cols, {"keccak": keccak},
+             {"r": keccak_randomness}, extra, success=success, label="tx")
+
+
+def tx_kernel(witness: Witness, MAX_TXS: int, keccak_randomness: int):
+    """Production path: the same constraint body compiled to one XLA kernel."""
+    from ..runtime.kernels import CircuitKernel
+
+    ctx = Ctx(np, MAX_TXS, "eager")
+    cols, extra = _tx_inputs(witness, MAX_TXS, ctx)
+    keccak = Table.from_rows(ctx, KECCAK_SCHEMA, witness.keccak_table.rows())
+    keccak.index_for(tuple(KECCAK_SCHEMA.columns))
+    return CircuitKernel("tx", check_tx, cols, {"keccak": keccak},
+                         {"r": keccak_randomness}, extra)
 
 
 class Transaction(NamedTuple):

@@ -104,56 +104,92 @@ EMPTY_TRIE_HASH = int.from_bytes(
 # Vectorized keccak-f over batched lanes (u32 hi/lo pairs), numpy/jnp
 # ---------------------------------------------------------------------------
 
+# rho+pi as one static lane permutation + per-lane rotation: lane s = x+5y
+# rotates by _ROT[x][y] and lands at d = y + 5*((2x+3y) % 5)
+_PI_SRC = np.zeros(25, dtype=np.int32)   # _PI_SRC[d] = s
+_ROT_PER_DST = np.zeros(25, dtype=np.int32)
+for _x in range(5):
+    for _y in range(5):
+        _d = _y + 5 * ((2 * _x + 3 * _y) % 5)
+        _PI_SRC[_d] = _x + 5 * _y
+        _ROT_PER_DST[_d] = _ROT[_x][_y] % 64
+_RC_LO = np.array([rc & 0xFFFFFFFF for rc in _RC], dtype=np.uint32)
+_RC_HI = np.array([rc >> 32 for rc in _RC], dtype=np.uint32)
+
+
+def _rotl64_pairs(xp, lo, hi, n):
+    """Rotate-left 64-bit lanes stored as u32 (lo, hi) pairs by per-lane
+    static amounts ``n`` (int array broadcastable to the lane axis)."""
+    n = np.asarray(n)
+    swap = (n % 64) >= 32
+    m = (n % 32).astype(np.uint32)
+    # rotate each 32-bit pair by m (shift-by-32 avoided via the m==0 select)
+    m_ = xp.asarray(m)
+    inv = xp.asarray(((32 - m) % 32).astype(np.uint32))
+    lo1 = xp.where(m_ == 0, lo, (lo << m_) | (hi >> inv))
+    hi1 = xp.where(m_ == 0, hi, (hi << m_) | (lo >> inv))
+    swap_x = xp.asarray(swap)
+    return (xp.where(swap_x, hi1, lo1).astype(lo.dtype),
+            xp.where(swap_x, lo1, hi1).astype(hi.dtype))
+
+
+def keccak_round(xp, lo, hi, rc_lo, rc_hi):
+    """One keccak-f round over stacked [..., 25] u32 lane halves.
+
+    Written as a single ~25-op tensor function so the 24 rounds can run
+    under ``lax.scan`` with an O(1)-size compiled graph (the round-unrolled
+    form made XLA:CPU compiles take minutes)."""
+    shape = lo.shape[:-1]
+    a_lo = lo.reshape(shape + (5, 5))   # [..., y, x]
+    a_hi = hi.reshape(shape + (5, 5))
+    # theta
+    c_lo = a_lo[..., 0, :] ^ a_lo[..., 1, :] ^ a_lo[..., 2, :] ^ a_lo[..., 3, :] ^ a_lo[..., 4, :]
+    c_hi = a_hi[..., 0, :] ^ a_hi[..., 1, :] ^ a_hi[..., 2, :] ^ a_hi[..., 3, :] ^ a_hi[..., 4, :]
+    r_lo, r_hi = _rotl64_pairs(xp, xp.roll(c_lo, -1, axis=-1),
+                               xp.roll(c_hi, -1, axis=-1), np.ones(5, np.int32))
+    d_lo = xp.roll(c_lo, 1, axis=-1) ^ r_lo
+    d_hi = xp.roll(c_hi, 1, axis=-1) ^ r_hi
+    lo = (a_lo ^ d_lo[..., None, :]).reshape(shape + (25,))
+    hi = (a_hi ^ d_hi[..., None, :]).reshape(shape + (25,))
+    # rho + pi (static gather + per-lane rotation)
+    src = xp.asarray(_PI_SRC)
+    b_lo, b_hi = _rotl64_pairs(xp, lo[..., src], hi[..., src], _ROT_PER_DST)
+    # chi: A[x][y] = B[x][y] ^ (~B[x+1][y] & B[x+2][y]) — roll along x
+    b_lo = b_lo.reshape(shape + (5, 5))
+    b_hi = b_hi.reshape(shape + (5, 5))
+    lo = b_lo ^ (~xp.roll(b_lo, -1, axis=-1) & xp.roll(b_lo, -2, axis=-1))
+    hi = b_hi ^ (~xp.roll(b_hi, -1, axis=-1) & xp.roll(b_hi, -2, axis=-1))
+    lo = lo.reshape(shape + (25,))
+    hi = hi.reshape(shape + (25,))
+    # iota
+    iota = xp.zeros((25,), dtype=lo.dtype)
+    lo = lo ^ xp.where(xp.arange(25) == 0, rc_lo, iota)
+    hi = hi ^ xp.where(xp.arange(25) == 0, rc_hi, iota)
+    return lo, hi
+
+
 def keccak_f_lanes(xp, lanes_lo, lanes_hi):
     """Batched keccak-f[1600].
 
     lanes_lo/hi: [..., 25] uint32 arrays (little-endian 64-bit lanes split
     into 32-bit halves).  Returns permuted (lo, hi).  All bitwise ops map
-    directly onto the TPU VPU's u32 units.
+    directly onto the TPU VPU's u32 units.  Under jax the 24 rounds run as
+    one ``lax.scan`` body; under numpy as a host loop.
     """
-    def rotl(lo, hi, n):
-        n %= 64
-        if n == 0:
-            return lo, hi
-        if n == 32:
-            return hi, lo
-        if n < 32:
-            nlo = ((lo << n) | (hi >> (32 - n)))
-            nhi = ((hi << n) | (lo >> (32 - n)))
-        else:
-            m = n - 32
-            nlo = ((hi << m) | (lo >> (32 - m)))
-            nhi = ((lo << m) | (hi >> (32 - m)))
-        return nlo.astype(lo.dtype), nhi.astype(hi.dtype)
+    if xp is np:
+        lo, hi = lanes_lo, lanes_hi
+        for r in range(24):
+            lo, hi = keccak_round(np, lo, hi, _RC_LO[r], _RC_HI[r])
+        return lo, hi
+    import jax
 
-    A_lo = [[lanes_lo[..., x + 5 * y] for y in range(5)] for x in range(5)]
-    A_hi = [[lanes_hi[..., x + 5 * y] for y in range(5)] for x in range(5)]
-    for rc in _RC:
-        c_lo = [A_lo[x][0] ^ A_lo[x][1] ^ A_lo[x][2] ^ A_lo[x][3] ^ A_lo[x][4] for x in range(5)]
-        c_hi = [A_hi[x][0] ^ A_hi[x][1] ^ A_hi[x][2] ^ A_hi[x][3] ^ A_hi[x][4] for x in range(5)]
-        for x in range(5):
-            r_lo, r_hi = rotl(c_lo[(x + 1) % 5], c_hi[(x + 1) % 5], 1)
-            d_lo = c_lo[(x - 1) % 5] ^ r_lo
-            d_hi = c_hi[(x - 1) % 5] ^ r_hi
-            for y in range(5):
-                A_lo[x][y] = A_lo[x][y] ^ d_lo
-                A_hi[x][y] = A_hi[x][y] ^ d_hi
-        B_lo = [[None] * 5 for _ in range(5)]
-        B_hi = [[None] * 5 for _ in range(5)]
-        for x in range(5):
-            for y in range(5):
-                r_lo, r_hi = rotl(A_lo[x][y], A_hi[x][y], _ROT[x][y])
-                B_lo[y][(2 * x + 3 * y) % 5] = r_lo
-                B_hi[y][(2 * x + 3 * y) % 5] = r_hi
-        for x in range(5):
-            for y in range(5):
-                A_lo[x][y] = B_lo[x][y] ^ (~B_lo[(x + 1) % 5][y] & B_lo[(x + 2) % 5][y])
-                A_hi[x][y] = B_hi[x][y] ^ (~B_hi[(x + 1) % 5][y] & B_hi[(x + 2) % 5][y])
-        A_lo[0][0] = A_lo[0][0] ^ np.uint32(rc & 0xFFFFFFFF)
-        A_hi[0][0] = A_hi[0][0] ^ np.uint32(rc >> 32)
-    out_lo = xp.stack([A_lo[x][y] for y in range(5) for x in range(5)], axis=-1)
-    out_hi = xp.stack([A_hi[x][y] for y in range(5) for x in range(5)], axis=-1)
-    return out_lo, out_hi
+    def body(state, rcs):
+        lo, hi = keccak_round(xp, state[0], state[1], rcs[0], rcs[1])
+        return (lo, hi), None
+
+    (lo, hi), _ = jax.lax.scan(
+        body, (lanes_lo, lanes_hi), (xp.asarray(_RC_LO), xp.asarray(_RC_HI)))
+    return lo, hi
 
 
 def keccak256_batch_fixed_blocks(xp, blocks_u32):

@@ -91,11 +91,13 @@ def _partition_by_signature(
 class CompiledBlockVerifier:
     """Whole-block witness verification compiled to XLA kernels.
 
-    Covers the EVM circuit (all step groups) and the state circuit proving
-    the rw table — the row-dominant sub-circuits.  The remaining producer
-    circuits (bytecode/keccak/copy/exp/tx) are checked by
-    circuits/super_circuit.verify_super_circuit in spec mode; use both for
-    full coverage until those kernels are compiled too.
+    Covers every sub-circuit of the super circuit
+    (reference specs/super_circuit.md:1-41): the EVM circuit (all step
+    groups), the state circuit proving the rw table, and the producer
+    circuits — bytecode, keccak, copy, exp, tx, sig, pi, withdrawal, ecc —
+    each compiled through runtime/kernels.CircuitKernel.  Host-side crypto
+    (ECDSA, bn254 pairing) runs once at build time and ships verdict-bit
+    hints, mirroring the reference's py_ecc/eth_keys chip boundary.
     """
 
     def __init__(
@@ -104,14 +106,95 @@ class CompiledBlockVerifier:
         keccak_randomness: int = 0x64,
         pad_pow2: bool = True,
         end_with_last_step: bool = True,
+        copy_circuit=None,
+        exp_circuit=None,
+        signed_txs=None,
+        tx_circuit_params: Optional[Tuple[int, int, int]] = None,
+        k_bytecode: int = 10,
     ):
         from ..runtime.jit import CompiledGroupVerifier
 
         self.witness = witness
+        codes = [bytes(bc.code) for bc in witness.bytecodes]
+        keccak_rows = assign_keccak_table(codes, keccak_randomness)
+        copy_circuit = copy_circuit if copy_circuit is not None else witness.copy_circuit
+        exp_circuit = exp_circuit if exp_circuit is not None else witness.exp_circuit
+        signed_txs = signed_txs if signed_txs is not None else witness.signed_txs
+
         kwargs = witness.tables_kwargs()
-        kwargs["keccak_table"] = assign_keccak_table(
-            [bytes(bc.code) for bc in witness.bytecodes], keccak_randomness)
+        if copy_circuit is not None:
+            from ..witness.typing import copy_circuit_to_table
+
+            kwargs["copy_table"] = copy_circuit_to_table(copy_circuit)
+        if exp_circuit is not None:
+            from ..witness.typing import exp_circuit_to_table
+
+            kwargs["exp_table"] = exp_circuit_to_table(exp_circuit)
+        if witness.ecc_circuit is not None:
+            from ..circuits.ecc import ecc_table_rows
+
+            kwargs["ecc_table"] = ecc_table_rows(witness.ecc_circuit,
+                                                 keccak_randomness)
+        kwargs["keccak_table"] = keccak_rows
         self.tables = Tables(**kwargs)
+
+        # -- producer-circuit kernels (one fused XLA program each) ----------
+        from ..circuits.bytecode import assign_bytecode_circuit, bytecode_kernel, unroll
+        from ..circuits.copy import copy_kernel
+        from ..circuits.exp import exp_kernel
+        from ..circuits.keccak import keccak_kernel
+        from ..circuits.super_circuit import verify_prologue
+
+        verify_prologue(witness)  # host: pins the rw prologue + first step
+
+        self.circuit_kernels: List[Tuple[str, object]] = []
+
+        def add_kernel(name, k):
+            if k is not None:
+                self.circuit_kernels.append((name, k))
+
+        bc_rows = assign_bytecode_circuit(
+            k_bytecode, [unroll(c) for c in codes], keccak_randomness)
+        add_kernel("bytecode", bytecode_kernel(bc_rows, keccak_rows,
+                                               keccak_randomness))
+        add_kernel("keccak", keccak_kernel(codes, keccak_rows, keccak_randomness))
+        if copy_circuit is not None:
+            add_kernel("copy", copy_kernel(copy_circuit, self.tables,
+                                           keccak_randomness))
+        if exp_circuit is not None:
+            add_kernel("exp", exp_kernel(exp_circuit))
+        if signed_txs is not None:
+            from ..circuits.sig import sig_kernel
+            from ..circuits.super_circuit import sig_witness_from_txs
+            from ..circuits.tx import tx_kernel, txs2witness
+
+            max_txs, max_calldata, chain_id = tx_circuit_params
+            tx_witness = txs2witness(signed_txs, chain_id, max_txs,
+                                     max_calldata, keccak_randomness)
+            add_kernel("tx", tx_kernel(tx_witness, max_txs, keccak_randomness))
+            add_kernel("sig", sig_kernel(
+                sig_witness_from_txs(signed_txs, chain_id, keccak_randomness),
+                keccak_randomness))
+        if witness.ecc_circuit is not None:
+            from ..circuits.ecc import ecc_kernel
+
+            add_kernel("ecc", ecc_kernel(witness.ecc_circuit, keccak_randomness))
+        if witness.withdrawals:
+            from ..circuits.pi import pi_kernel, public_data2witness
+            from ..circuits.super_circuit import public_data_from_witness
+            from ..circuits.withdrawal import withdrawal_kernel, withdrawals2witness
+
+            n_wd = len(witness.withdrawals)
+            wd_witness = withdrawals2witness(witness.withdrawals, n_wd,
+                                             keccak_randomness,
+                                             kwargs["block_table"])
+            add_kernel("withdrawal", withdrawal_kernel(wd_witness, n_wd,
+                                                       keccak_randomness))
+            max_txs = len(witness.txs)
+            max_calldata = max(1, sum(len(tx.call_data) for tx in witness.txs))
+            pd = public_data_from_witness(witness, n_wd)
+            pi_witness = public_data2witness(pd, max_txs, max_calldata, n_wd)
+            add_kernel("pi", pi_kernel(pi_witness, max_txs, max_calldata, n_wd))
 
         steps = list(witness.steps)
         if end_with_last_step:
@@ -157,7 +240,7 @@ class CompiledBlockVerifier:
 
     def prepare(self):
         """Host pass: hint regeneration for every group + state-circuit
-        packing; ships everything to the device."""
+        packing + sub-circuit kernel inputs; ships everything to the device."""
         import jax
 
         prepared = []
@@ -167,15 +250,19 @@ class CompiledBlockVerifier:
         cols, mpt_tree, meta = pack_state_inputs(self._state_rows, self._state_mpt)
         state_fn = jax.jit(make_state_check_fn(meta))
         state_args = jax.device_put((cols, mpt_tree))
-        return {"groups": prepared, "state_fn": state_fn, "state_args": state_args}
+        circuits = [(name, k, k.device_args()) for name, k in self.circuit_kernels]
+        return {"groups": prepared, "state_fn": state_fn,
+                "state_args": state_args, "circuits": circuits}
 
     def run_device(self, prepared):
         """Device-only pass: every compiled kernel over its shipped inputs.
-        Returns {step_index | ('state', row): failed} for real lanes."""
+        Returns {step_index | ('state', row) | (circuit, row): failed}."""
         outs = []
         for g, args in zip(self.groups, prepared["groups"]):
             outs.append(g["verifier"](*args))
         state_out = prepared["state_fn"](*prepared["state_args"])
+        circuit_outs = [(name, kernel(args))
+                        for name, kernel, args in prepared["circuits"]]
 
         failures: Dict[object, bool] = {}
         for g, out in zip(self.groups, outs):
@@ -186,16 +273,21 @@ class CompiledBlockVerifier:
         sfail = np.asarray(state_out)
         for r in np.nonzero(sfail)[0]:
             failures[("state", int(r))] = True
+        for name, out in circuit_outs:
+            fail = np.asarray(out)
+            for r in np.nonzero(fail)[0]:
+                failures[(name, int(r))] = True
         return failures
 
     def verify(self) -> None:
         failures = self.run_device(self.prepare())
         if failures:
             step_fails = sorted(k for k in failures if isinstance(k, int))
-            row_fails = sorted(k[1] for k in failures if isinstance(k, tuple))
+            row_fails = sorted((k for k in failures if isinstance(k, tuple)),
+                               key=str)
             raise AssertionError(
                 f"block verification failed: steps {step_fails[:8]}, "
-                f"state rows {row_fails[:8]}")
+                f"circuit rows {row_fails[:8]}")
 
     @property
     def n_constraints(self) -> int:

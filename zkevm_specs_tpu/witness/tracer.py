@@ -60,6 +60,13 @@ class BlockWitness:
         self.block = Block()
         self.txs: List[Transaction] = []
         self.bytecodes: List[Bytecode] = []
+        # optional sub-circuit witnesses populated by the tracer / caller:
+        self.withdrawals: List = []        # EIP-4895 withdrawals (pi + wd circuits)
+        self.copy_circuit = None           # CopyCircuit accumulator
+        self.exp_circuit = None            # ExpCircuit accumulator
+        self.ecc_circuit = None            # EccCircuit ops
+        self.signed_txs = None             # signed tx list (tx + sig circuits)
+        self.chain_id = 0x01
 
     def tables_kwargs(self) -> dict:
         tx_rows = []
@@ -83,6 +90,7 @@ def trace_block(
     block: Block,
     txs: List[Tuple[Transaction, Bytecode]],
     caller_balance: int = 10**21,
+    withdrawals: Optional[List] = None,
 ) -> BlockWitness:
     """Execute txs (each a call to a contract with the given bytecode) and
     emit the full witness.
@@ -93,8 +101,13 @@ def trace_block(
     The reference never runs both circuits on one witness; here a block-level
     prologue of setup writes (rw counters 1..10*n_txs) provides them, and
     execution rows start after the prologue."""
+    if withdrawals:
+        # chain the mock MPT withdrawal roots up front so the block table's
+        # WithdrawalRoot matches the withdrawal circuit's final root
+        block.withdrawal_root = 7 * sum(1 for wd in withdrawals if wd.amount)
     start = 1 + _N_SETUP_ROWS * len(txs)
     w, call_ids = _trace_execution(block, txs, caller_balance, start)
+    w.withdrawals = list(withdrawals or [])
 
     prologue = RWDictionary(1)
     for (tx, bytecode), call_id in zip(txs, call_ids):
