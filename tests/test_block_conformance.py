@@ -1,0 +1,179 @@
+"""Block-level conformance: one traced block exercising a wide span of
+execution states, verified through every sub-circuit (spec mode) — the
+whole-block analog of the per-gadget vectors in tests/evm/."""
+import pytest
+
+from zkevm_specs_tpu.circuits.super_circuit import verify_super_circuit
+from zkevm_specs_tpu.evm.execution_state import ExecutionState
+from zkevm_specs_tpu.witness.tracer import trace_block
+from zkevm_specs_tpu.witness.typing import Account, Block, Bytecode, Transaction
+
+
+def wide_program() -> Bytecode:
+    """Touches the ALU, comparison, shift, memory, storage, context, copy,
+    log and flow families in one root frame."""
+    bc = Bytecode()
+    # ALU
+    bc.push1(3).push1(5).add().pop()
+    bc.push1(7).push1(3).sub().pop()
+    bc.push1(6).push1(7).mul().pop()
+    bc.push1(3).push1(40).div().pop()
+    bc.push1(7).push1(40).mod().pop()
+    bc.push2(0x0100).push1(2).sdiv().pop()
+    bc.push1(7).push1(45).smod().pop()
+    bc.push1(5).push1(9).push1(13).addmod().pop()
+    bc.push1(5).push1(9).push1(13).mulmod().pop()
+    bc.push1(3).push1(2).exp().pop()
+    bc.push1(0xFF).push1(0).signextend().pop()
+    # comparisons / bitwise
+    bc.push1(1).push1(2).lt().pop()
+    bc.push1(1).push1(2).gt().pop()
+    bc.push1(5).push1(5).eq().pop()
+    bc.push1(5).push1(3).slt().pop()
+    bc.push1(5).push1(3).sgt().pop()
+    bc.push1(0).iszero().pop()
+    bc.push1(0b1100).push1(0b1010).and_().pop()
+    bc.push1(0b1100).push1(0b1010).or_().pop()
+    bc.push1(0b1100).push1(0b1010).xor_().pop()
+    bc.push1(5).not_().pop()
+    bc.push1(0xAB).push1(31).byte().pop()
+    bc.push1(0xF0).push1(4).shl().pop()
+    bc.push1(0xF0).push1(4).shr().pop()
+    bc.push1(0xF0).push1(2).sar().pop()
+    # stack
+    bc.push1(11).push1(22).dup2().swap1().pop().pop().pop()
+    # memory
+    bc.push1(0x42).push1(0).mstore()
+    bc.push1(0).mload().pop()
+    bc.push1(0x99).push1(33).mstore8()
+    bc.msize().pop()
+    # storage: cold set, warm update, warm read
+    bc.push1(0x11).push1(0x01).sstore()
+    bc.push1(0x22).push1(0x01).sstore()
+    bc.push1(0x01).sload().pop()
+    # context / env
+    bc.address().pop()
+    bc.caller().pop()
+    bc.callvalue().pop()
+    bc.calldatasize().pop()
+    bc.push1(1).calldataload().pop()
+    bc.codesize().pop()
+    bc.gasprice().pop()
+    bc.origin().pop()
+    bc.selfbalance().pop()
+    bc.returndatasize().pop()
+    bc.coinbase().pop()
+    bc.timestamp().pop()
+    bc.number().pop()
+    bc.gaslimit().pop()
+    bc.prevrandao().pop()
+    bc.basefee().pop()
+    bc.chainid().pop()
+    bc.gas().pop()
+    bc.pc().pop()
+    bc.push1(100).blockhash().pop()
+    # account queries (cold then warm)
+    bc.push2(0xCAFE).balance().pop()
+    bc.push2(0xCAFE).extcodesize().pop()
+    bc.push2(0xCAFE).extcodehash().pop()
+    bc.push2(0xBEEF).balance().pop()  # non-existent account
+    # copies + hashing
+    bc.push1(8).push1(2).push1(64).calldatacopy()
+    bc.push1(16).push1(0).push1(96).codecopy()
+    bc.push1(8).push1(64).sha3().pop()
+    # logs
+    bc.push1(4).push1(0).log0()
+    bc.push1(0x71).push1(4).push1(0).log1()
+    bc.push1(0x72).push1(0x71).push1(4).push1(0).log2()
+    bc.jumpdest()
+    return bc
+
+
+def test_block_conformance_wide():
+    bc = wide_program()
+    bc.stop()
+    block = Block(base_fee=int(1e9), number=256,
+                  history_hashes=[0x1000 + i for i in range(256)])
+    tx = Transaction(id=1, gas=1000000, gas_price=int(2e9),
+                     caller_address=0xFE, callee_address=0xFF, value=10,
+                     call_data=bytes(range(1, 33)))
+    accounts = {
+        0xCAFE: Account(address=0xCAFE, balance=1234,
+                        code=Bytecode().push1(1).stop()),
+    }
+    witness = trace_block(block, [(tx, bc)], accounts=accounts)
+    states = {s.execution_state for s in witness.steps}
+    assert len(states) >= 45, f"only {len(states)} states touched: {sorted(s.name for s in states)}"
+    verify_super_circuit(witness)
+
+
+def test_block_conformance_flow():
+    # JUMP forward to a JUMPDEST, then a not-taken JUMPI falls through
+    bc = Bytecode()
+    bc.push1(4).jump()
+    bc.stop()                         # skipped
+    bc.jumpdest()                     # pc 4
+    bc.push1(0).push1(11).jumpi()     # cond 0: not taken -> falls to pc 9
+    bc.push1(1).pop()
+    bc.stop()
+    block = Block(base_fee=int(1e9))
+    tx = Transaction(id=1, gas=100000, gas_price=int(2e9),
+                     caller_address=0xFE, callee_address=0xFF)
+    witness = trace_block(block, [(tx, bc)])
+    states = {s.execution_state for s in witness.steps}
+    assert ExecutionState.JUMP in states and ExecutionState.JUMPI in states
+    verify_super_circuit(witness)
+
+
+def test_block_conformance_jumpi_taken():
+    bc = Bytecode()
+    bc.push1(1).push1(6).jumpi()      # cond 1: taken -> pc 6
+    bc.stop()                         # pc 5, skipped
+    bc.jumpdest()                     # pc 6
+    bc.stop()
+    block = Block(base_fee=int(1e9))
+    tx = Transaction(id=1, gas=100000, gas_price=int(2e9),
+                     caller_address=0xFE, callee_address=0xFF)
+    witness = trace_block(block, [(tx, bc)])
+    verify_super_circuit(witness)
+
+
+def test_block_conformance_return_root():
+    bc = Bytecode().push1(0x42).push1(0).mstore().push1(32).push1(0).return_()
+    block = Block(base_fee=int(1e9))
+    tx = Transaction(id=1, gas=100000, gas_price=int(2e9),
+                     caller_address=0xFE, callee_address=0xFF)
+    witness = trace_block(block, [(tx, bc)])
+    states = {s.execution_state for s in witness.steps}
+    assert ExecutionState.RETURN in states
+    verify_super_circuit(witness)
+
+
+def test_block_conformance_refund_path():
+    # set a slot then clear it: SSTORE refund flows into EndTx's
+    # effective-refund accounting
+    bc = (Bytecode()
+          .push1(0x11).push1(0x01).sstore()
+          .push1(0x00).push1(0x01).sstore()
+          .stop())
+    block = Block(base_fee=int(1e9))
+    tx = Transaction(id=1, gas=100000, gas_price=int(2e9),
+                     caller_address=0xFE, callee_address=0xFF)
+    witness = trace_block(block, [(tx, bc)])
+    verify_super_circuit(witness)
+
+
+def test_block_conformance_corrupt_storage_rejected():
+    bc = Bytecode().push1(0x11).push1(0x01).sstore().push1(0x01).sload().pop().stop()
+    block = Block(base_fee=int(1e9))
+    tx = Transaction(id=1, gas=100000, gas_price=int(2e9),
+                     caller_address=0xFE, callee_address=0xFF)
+    witness = trace_block(block, [(tx, bc)])
+    from zkevm_specs_tpu.tables.schemas import Target
+
+    for row in witness.rw.rws:
+        if row["key0"] == int(Target.AccountStorage) and row["rw"] == 0:
+            row["value"] ^= 1
+            break
+    with pytest.raises(AssertionError):
+        verify_super_circuit(witness)

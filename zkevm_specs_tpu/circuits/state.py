@@ -136,12 +136,33 @@ def _mock_mpt_updates(ops: List[Operation]) -> Dict[Tuple[int, int, int], dict]:
         if key in mpt_map:
             # the MPT lookup fires on the LAST access of a key — keep its
             # value current (the reference keeps the first value, but its
-            # vectors never revisit a key with a new value)
-            mpt_map[key]["value"] = int(op.value)
+            # vectors never revisit a key with a new value) and recompute
+            # the proof type the circuit will derive from the final values
+            entry = mpt_map[key]
+            entry["value"] = int(op.value)
+            now_non_exist = entry["value"] == 0 and entry["value_prev"] == 0
+            if op.tag == Tag.Storage:
+                entry["proof_type"] = int(
+                    MPTProofType.NonExistingAccountProof if now_non_exist
+                    else MPTProofType.StorageMod)
+            elif (op.tag == Tag.Account
+                  and int(op.field_tag) == int(AccountFieldTag.CodeHash)):
+                entry["proof_type"] = int(
+                    MPTProofType.NonExistingAccountProof if now_non_exist
+                    else MPTProofType.from_account_field_tag(
+                        AccountFieldTag(int(op.field_tag))))
             continue
-        proof_type = MPTProofType.StorageMod
+        non_exist = int(op.value) == 0 and int(op.initial_value) == 0
         if op.tag == Tag.Account:
-            proof_type = MPTProofType.from_account_field_tag(AccountFieldTag(int(op.field_tag)))
+            if non_exist and int(op.field_tag) == int(AccountFieldTag.CodeHash):
+                # matches the circuit's acc_non_exist rule (check_state_rows)
+                proof_type = MPTProofType.NonExistingAccountProof
+            else:
+                proof_type = MPTProofType.from_account_field_tag(
+                    AccountFieldTag(int(op.field_tag)))
+        else:
+            proof_type = (MPTProofType.NonExistingAccountProof if non_exist
+                          else MPTProofType.StorageMod)
         new_root = root if op.tag == Tag.Start else root + 5
         mpt_map[key] = {
             "address": int(op.address),

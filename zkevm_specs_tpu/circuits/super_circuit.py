@@ -185,7 +185,10 @@ def verify_super_circuit(
     """Verify every sub-circuit of a block witness against shared tables."""
     # shared keccak table covers all bytecode hashes
     codes = [bytes(bc.code) for bc in witness.bytecodes]
-    keccak_rows = assign_keccak_table(codes, keccak_randomness)
+    # the shared keccak table covers bytecode hashes plus any SHA3 preimages
+    # hashed during execution (witness/tracer.py op_sha3)
+    keccak_data = codes + list(getattr(witness, "sha3_preimages", []))
+    keccak_rows = assign_keccak_table(keccak_data, keccak_randomness)
 
     copy_circuit = copy_circuit if copy_circuit is not None else witness.copy_circuit
     exp_circuit = exp_circuit if exp_circuit is not None else witness.exp_circuit
@@ -225,7 +228,7 @@ def verify_super_circuit(
     verify_bytecode_circuit(bc_rows, keccak_rows, keccak_randomness)
 
     # 4. keccak circuit proves the keccak table
-    verify_keccak_circuit(codes, keccak_rows, keccak_randomness)
+    verify_keccak_circuit(keccak_data, keccak_rows, keccak_randomness)
 
     # 5. copy / exp circuits prove their tables
     if copy_circuit is not None:
@@ -289,10 +292,10 @@ def verify_prologue(witness: BlockWitness) -> None:
         CC.CalleeAddress, CC.CallDataLength, CC.Value, CC.IsRoot, CC.CodeHash,
     )
     for i, tx in enumerate(witness.txs):
-        bytecode = witness.bytecodes[i]
+        code_hash = witness.tx_code_hashes[i]
         expected_values = (
             tx.id, 1, 1, 1, tx.caller_address, tx.callee_address,
-            len(tx.call_data), tx.value, 1, bytecode.hash(),
+            len(tx.call_data), tx.value, 1, code_hash,
         )
         for k, (tag, value) in enumerate(zip(expected_tags, expected_values)):
             row = rws[i * _N_SETUP_ROWS + k]

@@ -116,7 +116,9 @@ class CompiledBlockVerifier:
 
         self.witness = witness
         codes = [bytes(bc.code) for bc in witness.bytecodes]
-        keccak_rows = assign_keccak_table(codes, keccak_randomness)
+        # bytecode hashes plus any SHA3 preimages hashed during execution
+        keccak_data = codes + list(getattr(witness, "sha3_preimages", []))
+        keccak_rows = assign_keccak_table(keccak_data, keccak_randomness)
         copy_circuit = copy_circuit if copy_circuit is not None else witness.copy_circuit
         exp_circuit = exp_circuit if exp_circuit is not None else witness.exp_circuit
         signed_txs = signed_txs if signed_txs is not None else witness.signed_txs
@@ -157,7 +159,8 @@ class CompiledBlockVerifier:
             k_bytecode, [unroll(c) for c in codes], keccak_randomness)
         add_kernel("bytecode", bytecode_kernel(bc_rows, keccak_rows,
                                                keccak_randomness))
-        add_kernel("keccak", keccak_kernel(codes, keccak_rows, keccak_randomness))
+        add_kernel("keccak", keccak_kernel(keccak_data, keccak_rows,
+                                           keccak_randomness))
         if copy_circuit is not None:
             add_kernel("copy", copy_kernel(copy_circuit, self.tables,
                                            keccak_randomness))
