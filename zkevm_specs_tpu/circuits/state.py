@@ -33,7 +33,10 @@ MAX_MEMORY_ADDRESS = 2**32 - 1
 MAX_STACK_PTR = 1023
 MAX_TAG = 12
 MAX_ID = 2**28 - 1
-MAX_FIELD_TAG = 24
+# the reference pins 24 (state_circuit.py:34) but its own
+# CallContextFieldTag enum reaches 25 (ReversibleWriteCounter) — a latent
+# bound its vectors never exercise; integrated block witnesses do
+MAX_FIELD_TAG = 25
 ID_BITS = 28
 ADDRESS_BITS = 160
 RW_COUNTER_BITS = 32

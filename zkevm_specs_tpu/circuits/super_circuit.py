@@ -308,3 +308,19 @@ def verify_prologue(witness: BlockWitness) -> None:
                 f"prologue row {k} of tx {tx.id}: tag {row['address']} != {int(tag)}")
             assert row["value"] == value, (
                 f"prologue row {k} of tx {tx.id}: value mismatch for {tag!r}")
+
+    # subcall context-setup region: one write per callee context key, in
+    # rw-counter order right after the root region (witness/tracer.py)
+    base = len(witness.txs) * _N_SETUP_ROWS
+    idx = base
+    for setup in getattr(witness, "subcall_setups", []):
+        for callee_id, tag, value in setup:
+            row = rws[idx]
+            assert row["rw_counter"] == 1 + idx, "subcall prologue: bad rw_counter"
+            assert (row["key0"], row["rw"]) == (int(Target.CallContext), 1), (
+                "subcall prologue: not a call-context write")
+            assert row["id"] == callee_id and row["address"] == int(tag), (
+                "subcall prologue: wrong key")
+            assert row["value"] == value, (
+                f"subcall prologue: value mismatch for {tag!r}")
+            idx += 1

@@ -131,6 +131,11 @@ _STATE_BY_OPCODE = {
     Opcode.LOG4: ExecutionState.LOG,
     Opcode.RETURN: ExecutionState.RETURN,
     Opcode.REVERT: ExecutionState.REVERT,
+    Opcode.RETURNDATACOPY: ExecutionState.RETURNDATACOPY,
+    Opcode.CALL: ExecutionState.CALL_OP,
+    Opcode.CALLCODE: ExecutionState.CALL_OP,
+    Opcode.DELEGATECALL: ExecutionState.CALL_OP,
+    Opcode.STATICCALL: ExecutionState.CALL_OP,
 }
 for _i in range(1, 17):
     _STATE_BY_OPCODE[Opcode[f"DUP{_i}"]] = ExecutionState.DUP
@@ -152,6 +157,7 @@ class BlockWitness:
         self.signed_txs = None             # signed tx list (tx + sig circuits)
         self.sha3_preimages: List[bytes] = []  # extra keccak-circuit preimages
         self.tx_code_hashes: List[int] = []    # per-tx root code hash
+        self.subcall_setups: List[List[Tuple[int, object, int]]] = []
         self.chain_id = 0x01
 
     def tables_kwargs(self) -> dict:
@@ -259,6 +265,21 @@ class _Tracer:
         self.mws = 0          # memory_word_size
         self.pc = 0
         self.stopped = False
+        # call-frame context (root values; subcalls push/pop via _FRAME_FIELDS)
+        self.is_root = True
+        self.callee_address = tx.callee_address
+        self.caller_address = tx.caller_address
+        self.value = tx.value
+        self.is_static = 0
+        self.depth = 1
+        self.calldata = bytes(tx.call_data)
+        self.cd_offset_abs = 0        # calldata region offset in caller memory
+        self.caller_frame_id = 0
+        self.rd_offset_abs = 0        # caller-requested return region
+        self.rd_length = 0
+        self.last_callee = (0, 0, 0)  # (id, return_data_offset, length)
+        self.frames: List[dict] = []
+        self.memories: Dict[int, Dict[int, int]] = {}  # finished frames' memory
 
         # --- BeginTx (gadget rw order, begin_tx.py) ---
         begin_rwc = rw.rw_counter
@@ -359,7 +380,7 @@ class _Tracer:
         sp = 1024 - len(self.stack)
         self.w.steps.append(
             StepState(state, self.rw.rw_counter, call_id=self.call_id,
-                      is_root=True, code_hash=self.code_hash,
+                      is_root=self.is_root, code_hash=self.code_hash,
                       program_counter=self.pc, stack_pointer=sp,
                       gas_left=self.gas_left, memory_word_size=self.mws,
                       reversible_write_counter=self.rev,
@@ -419,11 +440,276 @@ class _Tracer:
     def _mem_bytes(self, offset: int, length: int) -> bytes:
         return bytes(self.memory.get(offset + i, 0) for i in range(length))
 
+    # -- call frames ---------------------------------------------------------
+
+    _FRAME_FIELDS = (
+        "call_id", "code_hash", "code", "stack", "memory", "mws", "pc",
+        "gas_left", "rev", "is_root", "callee_address", "caller_address",
+        "value", "is_static", "depth", "calldata", "cd_offset_abs",
+        "caller_frame_id", "rd_offset_abs", "rd_length", "last_callee",
+    )
+
+    def _push_frame(self) -> dict:
+        saved = {f: getattr(self, f) for f in self._FRAME_FIELDS}
+        self.frames.append(saved)
+        return saved
+
+    def _pop_frame(self, last_callee):
+        self.memories[self.call_id] = self.memory
+        callee_gas = self.gas_left
+        callee_rev = self.rev
+        saved = self.frames.pop()
+        for f in self._FRAME_FIELDS:
+            setattr(self, f, saved[f])
+        self.pc = saved["resume_pc"]
+        self.gas_left = saved["resume_gas"] + callee_gas
+        self.mws = saved["resume_mws"]
+        self.rev = saved["resume_rev"] + callee_rev  # halt in success
+        self.last_callee = last_callee
+
+    def _restore_context_rows(self, saved: dict, last_callee):
+        """The 12 restore rows of step_state_transition_to_restored_context
+        (evm/instruction.py:481-538)."""
+        caller_id = saved["call_id"]
+        self.rw.call_context_read(self.call_id, CallContextFieldTag.CallerId,
+                                  caller_id)
+        for tag, value in (
+            (CallContextFieldTag.IsRoot, int(saved["is_root"])),
+            (CallContextFieldTag.IsCreate, 0),
+            (CallContextFieldTag.CodeHash, saved["code_hash"]),
+            (CallContextFieldTag.ProgramCounter, saved["resume_pc"]),
+            (CallContextFieldTag.StackPointer, 1024 - len(saved["stack"])),
+            (CallContextFieldTag.GasLeft, saved["resume_gas"]),
+            (CallContextFieldTag.MemorySize, saved["resume_mws"]),
+            (CallContextFieldTag.ReversibleWriteCounter, saved["resume_rev"]),
+        ):
+            self.rw.call_context_read(caller_id, tag, value)
+        for tag, value in (
+            (CallContextFieldTag.LastCalleeId, last_callee[0]),
+            (CallContextFieldTag.LastCalleeReturnDataOffset, last_callee[1]),
+            (CallContextFieldTag.LastCalleeReturnDataLength, last_callee[2]),
+        ):
+            self.rw.call_context_write(caller_id, tag, value)
+
+    def op_callop(self, op):
+        """CALL/CALLCODE/DELEGATECALL/STATICCALL, success path
+        (evm/execution/callop.py; row order per tests/evm/test_callop_return.py)."""
+        from ..ops.keccak import EMPTY_CODE_HASH
+        from ..utils.param import (
+            GAS_COST_ACCOUNT_COLD_ACCESS,
+            GAS_COST_CALL_WITH_VALUE,
+            GAS_COST_NEW_ACCOUNT,
+            GAS_COST_WARM_ACCESS,
+            GAS_STIPEND_CALL_WITH_VALUE,
+        )
+
+        is_call = op == Opcode.CALL
+        is_callcode = op == Opcode.CALLCODE
+        is_delegatecall = op == Opcode.DELEGATECALL
+        is_staticcall = op == Opcode.STATICCALL
+        rw = self.rw
+        callee_call_id = self.w.steps[-1].rw_counter
+        # the callop gadget charges the warm/cold access cost dynamically and
+        # never adds a constant cost — undo step_op's generic deduction
+        self.gas_left += constant_gas_cost(op)
+
+        self.cc_read(CallContextFieldTag.TxId, self.tx_id)
+        self.reversion_reads()
+        self.cc_read(CallContextFieldTag.CalleeAddress, self.callee_address)
+        self.cc_read(CallContextFieldTag.IsStatic, self.is_static)
+        self.cc_read(CallContextFieldTag.Depth, self.depth)
+        if is_delegatecall:
+            self.cc_read(CallContextFieldTag.CallerAddress, self.caller_address)
+            self.cc_read(CallContextFieldTag.Value, self.value)
+
+        gas_arg = self.spop()
+        target = self.spop()
+        value = self.spop() if (is_call or is_callcode) else 0
+        cd_offset_w = self.spop()
+        cd_length = self.spop()
+        rd_offset_w = self.spop()
+        rd_length = self.spop()
+        cd_offset = cd_offset_w if cd_length else 0
+        rd_offset = rd_offset_w if rd_length else 0
+        self.spush(1)  # is_success (success path only)
+
+        # memory expansion across the cd and rd regions (CallGadget)
+        sizes = [self.mws]
+        if cd_length:
+            sizes.append((cd_offset + cd_length + 31) // 32)
+        if rd_length:
+            sizes.append((rd_offset + rd_length + 31) // 32)
+        next_mws = max(sizes)
+        mem_gas = (3 * (next_mws - self.mws)
+                   + next_mws * next_mws // 512 - self.mws * self.mws // 512)
+
+        code_hash = self._account_code_hash(target)
+        rw.account_read(target, AccountFieldTag.CodeHash, code_hash)
+        warm = target in self.warm_addr
+        rw.tx_access_list_account_write(self.tx_id, target, True, warm)
+        self.warm_addr.add(target)
+        rw.call_context_read(callee_call_id,
+                             CallContextFieldTag.RwCounterEndOfReversion, 0)
+        rw.call_context_read(callee_call_id, CallContextFieldTag.IsPersistent, 1)
+        # the state circuit needs the first access of every callee context
+        # key to be a write; record the setup for the block prologue
+        setup = [(callee_call_id, CallContextFieldTag.RwCounterEndOfReversion, 0),
+                 (callee_call_id, CallContextFieldTag.IsPersistent, 1)]
+        self.w.subcall_setups.append(setup)
+
+        has_value = int(value != 0) if not (is_delegatecall or is_staticcall) else 0
+        callee_not_exists = int(code_hash == 0)
+        # context address resolution (callop.py:48-55)
+        ctx_callee = (self.callee_address if (is_callcode or is_delegatecall)
+                      else target)
+        ctx_caller = (self.caller_address if is_delegatecall
+                      else self.callee_address)
+        ctx_value = self.value if is_delegatecall else value
+
+        if is_call or is_callcode:
+            rw.account_read(ctx_caller if is_callcode else self.callee_address,
+                            AccountFieldTag.Balance,
+                            self.balances.get(self.callee_address, 0))
+        if is_call:
+            # transfer value (reversible, bound to the callee frame)
+            src, dst = self.callee_address, target
+            src_prev = self.balances.get(src, 0)
+            rw.account_write(src, AccountFieldTag.Balance, src_prev - value,
+                             src_prev)
+            self.balances[src] = src_prev - value
+            dst_prev = self.balances.get(dst, 0)
+            rw.account_write(dst, AccountFieldTag.Balance, dst_prev + value,
+                             dst_prev)
+            self.balances[dst] = dst_prev + value
+
+        gas_cost = (
+            (GAS_COST_WARM_ACCESS if warm else GAS_COST_ACCOUNT_COLD_ACCESS)
+            + has_value * (GAS_COST_CALL_WITH_VALUE
+                           + (GAS_COST_NEW_ACCOUNT if is_call and callee_not_exists else 0))
+            + mem_gas
+        )
+        gas_available = self.gas_left - gas_cost
+        all_but_64th = gas_available - gas_available // 64
+        callee_gas = min(all_but_64th, gas_arg) if gas_arg < (1 << 64) else all_but_64th
+
+        callee_code = self.codes.get(target)
+        no_code = code_hash in (0, int(EMPTY_CODE_HASH)) or callee_code is None
+        if no_code:
+            # empty-code call: stays in the caller's frame (callop.py:120-142)
+            for tag, v in ((CallContextFieldTag.LastCalleeId, 0),
+                           (CallContextFieldTag.LastCalleeReturnDataOffset, 0),
+                           (CallContextFieldTag.LastCalleeReturnDataLength, 0)):
+                rw.call_context_write(self.call_id, tag, v)
+            self.last_callee = (0, 0, 0)
+            self.rev += 3
+            self.gas_left += has_value * GAS_STIPEND_CALL_WITH_VALUE - gas_cost
+            self.mws = next_mws
+            self.pc += 1
+            return
+
+        # save the caller context (5 writes)
+        resume_gas = self.gas_left - gas_cost - callee_gas
+        for tag, v in (
+            (CallContextFieldTag.ProgramCounter, self.pc + 1),
+            (CallContextFieldTag.StackPointer, 1024 - len(self.stack)),
+            (CallContextFieldTag.GasLeft, resume_gas),
+            (CallContextFieldTag.MemorySize, next_mws),
+            (CallContextFieldTag.ReversibleWriteCounter, self.rev + 1),
+        ):
+            rw.call_context_write(self.call_id, tag, v)
+
+        # callee context reads (18) — note the gadget pins the callee's
+        # IsStatic to the CALLER's flag (callop.py:278), not OR'd with
+        # STATICCALL; mirrored for verdict parity
+        callee_static = self.is_static
+        for tag, v in (
+            (CallContextFieldTag.CallerId, self.call_id),
+            (CallContextFieldTag.TxId, self.tx_id),
+            (CallContextFieldTag.Depth, self.depth + 1),
+            (CallContextFieldTag.CallerAddress, ctx_caller),
+            (CallContextFieldTag.CalleeAddress, ctx_callee),
+            (CallContextFieldTag.CallDataOffset, cd_offset),
+            (CallContextFieldTag.CallDataLength, cd_length),
+            (CallContextFieldTag.ReturnDataOffset, rd_offset),
+            (CallContextFieldTag.ReturnDataLength, rd_length),
+            (CallContextFieldTag.Value, ctx_value),
+            (CallContextFieldTag.IsSuccess, 1),
+            (CallContextFieldTag.IsStatic, int(callee_static)),
+            (CallContextFieldTag.LastCalleeId, 0),
+            (CallContextFieldTag.LastCalleeReturnDataOffset, 0),
+            (CallContextFieldTag.LastCalleeReturnDataLength, 0),
+            (CallContextFieldTag.IsRoot, 0),
+            (CallContextFieldTag.IsCreate, 0),
+            (CallContextFieldTag.CodeHash, code_hash),
+        ):
+            rw.call_context_read(callee_call_id, tag, v)
+            setup.append((callee_call_id, tag, v))
+
+        # enter the callee frame
+        calldata = bytes(self.memory.get(cd_offset + i, 0)
+                         for i in range(cd_length))
+        saved = self._push_frame()
+        saved["resume_pc"] = self.pc + 1
+        saved["resume_gas"] = resume_gas
+        saved["resume_mws"] = next_mws
+        saved["resume_rev"] = self.rev + 1
+        self.call_id = callee_call_id
+        self.code = callee_code
+        self.code_hash = callee_code.hash()
+        self.stack = []
+        self.memory = {}
+        self.mws = 0
+        self.pc = 0
+        self.gas_left = callee_gas + has_value * GAS_STIPEND_CALL_WITH_VALUE
+        self.rev = 2
+        self.is_root = False
+        self.callee_address = ctx_callee
+        self.caller_address = ctx_caller
+        self.value = ctx_value
+        self.is_static = int(callee_static)
+        self.depth = self.depth + 1
+        self.calldata = calldata
+        self.cd_offset_abs = cd_offset
+        self.caller_frame_id = saved["call_id"]
+        self.rd_offset_abs = rd_offset
+        self.rd_length = rd_length
+        self.last_callee = (0, 0, 0)
+
+    def op_returndatacopy(self, op):
+        memory_offset = self.spop()
+        data_offset = self.spop()
+        size = self.spop()
+        last_id, rdo, rdl = self.last_callee
+        self.cc_read(CallContextFieldTag.LastCalleeId, last_id)
+        self.cc_read(CallContextFieldTag.LastCalleeReturnDataLength, rdl)
+        self.cc_read(CallContextFieldTag.LastCalleeReturnDataOffset, rdo)
+        self._expand_dyn(memory_offset if size else 0, size)
+        self._copier_gas(size)
+        if size:
+            src_mem = self.memories[last_id]
+            src_base = rdo + data_offset
+            src_data = {src_base + i: src_mem.get(src_base + i, 0)
+                        for i in range(size)}
+            self.w.copy_circuit.copy(
+                self.copy_r, self.rw, last_id, CopyDataTypeTag.Memory,
+                self.call_id, CopyDataTypeTag.Memory, src_base, rdo + size,
+                memory_offset, size, src_data,
+            )
+            for i in range(size):
+                self.memory[memory_offset + i] = src_mem.get(src_base + i, 0)
+        self.pc += 1
+
     # -- handlers -----------------------------------------------------------
 
     def op_stop(self, op):
         self.cc_read(CallContextFieldTag.IsSuccess, 1)
-        self.stopped = True
+        if self.is_root:
+            self.stopped = True
+            return
+        saved = self.frames[-1]
+        last_callee = (self.call_id, 0, 0)
+        self._restore_context_rows(saved, last_callee)
+        self._pop_frame(last_callee)
 
     def op_push(self, op):
         n = get_push_size(op)
@@ -557,42 +843,42 @@ class _Tracer:
         self.pc = dest if cond != 0 else self.pc + 1
 
     def op_sload(self, op):
-        tx = self.tx
+        addr = self.callee_address
         self.cc_read(CallContextFieldTag.TxId, self.tx_id)
         self.reversion_reads()
-        self.cc_read(CallContextFieldTag.CalleeAddress, tx.callee_address)
+        self.cc_read(CallContextFieldTag.CalleeAddress, addr)
         key = self.spop()
-        skey = (tx.callee_address, key)
+        skey = (addr, key)
         value = self.storage.get(skey, 0)
         committed = self.committed.setdefault(skey, value)
-        self.rw.account_storage_read(tx.callee_address, key, value, self.tx_id,
+        self.rw.account_storage_read(addr, key, value, self.tx_id,
                                      committed)
         self.spush(value)
         warm = skey in self.warm_slot
         self.rw.tx_access_list_account_storage_write(
-            self.tx_id, tx.callee_address, key, True, warm)
+            self.tx_id, addr, key, True, warm)
         self.warm_slot.add(skey)
         self.rev += 1
         self.gas_left -= WARM_STORAGE_READ_COST if warm else COLD_SLOAD_COST
         self.pc += 1
 
     def op_sstore(self, op):
-        tx = self.tx
+        addr = self.callee_address
         self.cc_read(CallContextFieldTag.TxId, self.tx_id)
-        self.cc_read(CallContextFieldTag.IsStatic, 0)
+        self.cc_read(CallContextFieldTag.IsStatic, self.is_static)
         self.reversion_reads()
-        self.cc_read(CallContextFieldTag.CalleeAddress, tx.callee_address)
+        self.cc_read(CallContextFieldTag.CalleeAddress, addr)
         key = self.spop()
         value = self.spop()
-        skey = (tx.callee_address, key)
+        skey = (addr, key)
         value_prev = self.storage.get(skey, 0)
         original = self.committed.setdefault(skey, value_prev)
-        self.rw.account_storage_write(tx.callee_address, key, value, value_prev,
+        self.rw.account_storage_write(addr, key, value, value_prev,
                                       self.tx_id, original)
         self.storage[skey] = value
         warm = skey in self.warm_slot
         self.rw.tx_access_list_account_storage_write(
-            self.tx_id, tx.callee_address, key, True, warm)
+            self.tx_id, addr, key, True, warm)
         self.warm_slot.add(skey)
 
         # EIP-3529 refund schedule (reference storage.py:88-131)
@@ -628,28 +914,29 @@ class _Tracer:
 
     # context / env queries
     def op_address(self, op):
-        self.cc_read(CallContextFieldTag.CalleeAddress, self.tx.callee_address)
-        self.spush(self.tx.callee_address)
+        self.cc_read(CallContextFieldTag.CalleeAddress, self.callee_address)
+        self.spush(self.callee_address)
         self.pc += 1
 
     def op_caller(self, op):
-        self.cc_read(CallContextFieldTag.CallerAddress, self.tx.caller_address)
-        self.spush(self.tx.caller_address)
+        self.cc_read(CallContextFieldTag.CallerAddress, self.caller_address)
+        self.spush(self.caller_address)
         self.pc += 1
 
     def op_callvalue(self, op):
-        self.cc_read(CallContextFieldTag.Value, self.tx.value)
-        self.spush(self.tx.value)
+        self.cc_read(CallContextFieldTag.Value, self.value)
+        self.spush(self.value)
         self.pc += 1
 
     def op_calldatasize(self, op):
-        self.cc_read(CallContextFieldTag.CallDataLength, len(self.tx.call_data))
-        self.spush(len(self.tx.call_data))
+        self.cc_read(CallContextFieldTag.CallDataLength, len(self.calldata))
+        self.spush(len(self.calldata))
         self.pc += 1
 
     def op_returndatasize(self, op):
-        self.cc_read(CallContextFieldTag.LastCalleeReturnDataLength, 0)
-        self.spush(0)
+        self.cc_read(CallContextFieldTag.LastCalleeReturnDataLength,
+                     self.last_callee[2])
+        self.spush(self.last_callee[2])
         self.pc += 1
 
     def op_codesize(self, op):
@@ -667,7 +954,7 @@ class _Tracer:
         self.pc += 1
 
     def op_selfbalance(self, op):
-        addr = self.tx.callee_address
+        addr = self.callee_address
         self.cc_read(CallContextFieldTag.CalleeAddress, addr)
         bal = self.balances.get(addr, 0)
         self.rw.account_read(addr, AccountFieldTag.Balance, bal)
@@ -747,9 +1034,22 @@ class _Tracer:
 
     def op_calldataload(self, op):
         offset = self.spop()
-        self.cc_read(CallContextFieldTag.TxId, self.tx_id)
-        self.cc_read(CallContextFieldTag.CallDataLength, len(self.tx.call_data))
-        data = bytes(self.tx.call_data)
+        data = self.calldata
+        if self.is_root:
+            self.cc_read(CallContextFieldTag.TxId, self.tx_id)
+            self.cc_read(CallContextFieldTag.CallDataLength, len(data))
+        else:
+            self.cc_read(CallContextFieldTag.CallerId, self.caller_frame_id)
+            self.cc_read(CallContextFieldTag.CallDataLength, len(data))
+            self.cc_read(CallContextFieldTag.CallDataOffset, self.cd_offset_abs)
+            # in-bounds bytes are read from the caller's memory
+            src_addr = self.cd_offset_abs + offset
+            src_end = self.cd_offset_abs + len(data)
+            caller_mem = self.frames[-1]["memory"]
+            for i in range(32):
+                if src_addr + i < src_end:
+                    self.rw.memory_read(self.caller_frame_id, src_addr + i,
+                                        caller_mem.get(src_addr + i, 0))
         word = bytes(data[offset + i] if offset + i < len(data) else 0
                      for i in range(32))
         # the gadget packs the read-order bytes LITTLE-endian into the word,
@@ -761,20 +1061,38 @@ class _Tracer:
         memory_offset = self.spop()
         data_offset = self.spop()
         length = self.spop()
-        self.cc_read(CallContextFieldTag.TxId, self.tx_id)
-        self.cc_read(CallContextFieldTag.CallDataLength, len(self.tx.call_data))
+        data = self.calldata
+        if self.is_root:
+            self.cc_read(CallContextFieldTag.TxId, self.tx_id)
+            self.cc_read(CallContextFieldTag.CallDataLength, len(data))
+        else:
+            self.cc_read(CallContextFieldTag.CallerId, self.caller_frame_id)
+            self.cc_read(CallContextFieldTag.CallDataLength, len(data))
+            self.cc_read(CallContextFieldTag.CallDataOffset, self.cd_offset_abs)
         self._expand_dyn(memory_offset if length else 0, length)
         self._copier_gas(length)
         if length:
-            data = bytes(self.tx.call_data)
-            src_data = {data_offset + i: data[data_offset + i]
-                        for i in range(length)
-                        if data_offset + i < len(data)}
-            self.w.copy_circuit.copy(
-                self.copy_r, self.rw, self.tx_id, CopyDataTypeTag.TxCalldata,
-                self.call_id, CopyDataTypeTag.Memory, data_offset, len(data),
-                memory_offset, length, src_data,
-            )
+            if self.is_root:
+                src_data = {data_offset + i: data[data_offset + i]
+                            for i in range(length)
+                            if data_offset + i < len(data)}
+                self.w.copy_circuit.copy(
+                    self.copy_r, self.rw, self.tx_id, CopyDataTypeTag.TxCalldata,
+                    self.call_id, CopyDataTypeTag.Memory, data_offset, len(data),
+                    memory_offset, length, src_data,
+                )
+            else:
+                caller_mem = self.frames[-1]["memory"]
+                src_base = self.cd_offset_abs + data_offset
+                src_end = self.cd_offset_abs + len(data)
+                src_data = {src_base + i: caller_mem.get(src_base + i, 0)
+                            for i in range(length) if src_base + i < src_end}
+                self.w.copy_circuit.copy(
+                    self.copy_r, self.rw, self.caller_frame_id,
+                    CopyDataTypeTag.Memory, self.call_id,
+                    CopyDataTypeTag.Memory, src_base, src_end,
+                    memory_offset, length, src_data,
+                )
             for i in range(length):
                 b = data[data_offset + i] if data_offset + i < len(data) else 0
                 self.memory[memory_offset + i] = b
@@ -824,12 +1142,12 @@ class _Tracer:
         mstart = self.spop()
         msize = self.spop()
         self.cc_read(CallContextFieldTag.TxId, self.tx_id)
-        self.cc_read(CallContextFieldTag.IsStatic, 0)
-        self.cc_read(CallContextFieldTag.CalleeAddress, self.tx.callee_address)
+        self.cc_read(CallContextFieldTag.IsStatic, self.is_static)
+        self.cc_read(CallContextFieldTag.CalleeAddress, self.callee_address)
         self.cc_read(CallContextFieldTag.IsPersistent, 1)
         log_id = self.log_count + 1
         self.rw.tx_log_write(self.tx_id, log_id, TxLogFieldTag.Address, 0,
-                             self.tx.callee_address)
+                             self.callee_address)
         n_topics = int(op) - int(Opcode.LOG0)
         for i in range(n_topics):
             topic = self.spop()
@@ -851,13 +1169,37 @@ class _Tracer:
 
     def op_return_revert(self, op):
         # gadget order (return_revert.py): IsSuccess read precedes the pops
-        assert op == Opcode.RETURN, "tracer: root REVERT not supported yet"
+        assert op == Opcode.RETURN, "tracer: REVERT not supported yet"
         self.cc_read(CallContextFieldTag.IsSuccess, 1)
         offset = self.spop()
         length = self.spop()
-        self.cc_read(CallContextFieldTag.IsPersistent, 1)
+        if self.is_root:
+            self.cc_read(CallContextFieldTag.IsPersistent, 1)
+            self._expand_dyn(offset if length else 0, length)
+            self.stopped = True
+            return
+        # D. return the memory chunk to the caller (return_revert.py:72-95)
+        self.cc_read(CallContextFieldTag.ReturnDataOffset, self.rd_offset_abs)
+        self.cc_read(CallContextFieldTag.ReturnDataLength, self.rd_length)
+        copy_length = min(length, self.rd_length)
+        # the gadget's copy lookup needs a copy event even for length 0;
+        # zero-length subcall returns are not traced yet
+        assert copy_length > 0, "tracer: zero-length subcall RETURN unsupported"
+        saved = self.frames[-1]
+        if copy_length:
+            src_data = {offset + i: self.memory.get(offset + i, 0)
+                        for i in range(copy_length)}
+            self.w.copy_circuit.copy(
+                self.copy_r, self.rw, self.call_id, CopyDataTypeTag.Memory,
+                saved["call_id"], CopyDataTypeTag.Memory, offset,
+                offset + length, self.rd_offset_abs, copy_length, src_data,
+            )
+            for i in range(copy_length):
+                saved["memory"][self.rd_offset_abs + i] = self.memory.get(offset + i, 0)
         self._expand_dyn(offset if length else 0, length)
-        self.stopped = True
+        last_callee = (self.call_id, offset, length)
+        self._restore_context_rows(saved, last_callee)
+        self._pop_frame(last_callee)
 
 
 _ALU_BINARY = {
@@ -930,6 +1272,11 @@ _HANDLERS = {
     Opcode.LOG4: _Tracer.op_log,
     Opcode.RETURN: _Tracer.op_return_revert,
     Opcode.REVERT: _Tracer.op_return_revert,
+    Opcode.RETURNDATACOPY: _Tracer.op_returndatacopy,
+    Opcode.CALL: _Tracer.op_callop,
+    Opcode.CALLCODE: _Tracer.op_callop,
+    Opcode.DELEGATECALL: _Tracer.op_callop,
+    Opcode.STATICCALL: _Tracer.op_callop,
 }
 
 
@@ -954,13 +1301,23 @@ def trace_block(
         # chain the mock MPT withdrawal roots up front so the block table's
         # WithdrawalRoot matches the withdrawal circuit's final root
         block.withdrawal_root = 7 * sum(1 for wd in withdrawals if wd.amount)
-    start = 1 + _N_SETUP_ROWS * len(txs)
 
-    tracer = _Tracer(block, caller_balance, start, accounts)
-    for i, (tx, bytecode) in enumerate(txs):
-        tracer.balances.setdefault(tx.caller_address, caller_balance)
-        tracer.has_next_tx = i + 1 < len(txs)
-        tracer.run_tx(tx, bytecode)
+    def run(start: int) -> _Tracer:
+        tracer = _Tracer(block, caller_balance, start, accounts)
+        for i, (tx, bytecode) in enumerate(txs):
+            tracer.balances.setdefault(tx.caller_address, caller_balance)
+            tracer.has_next_tx = i + 1 < len(txs)
+            tracer.run_tx(tx, bytecode)
+        return tracer
+
+    # pass 1 discovers how many subcall context-setup prologue rows the
+    # state circuit needs (first access of every context key must be a
+    # write); pass 2 re-traces with the prologue budget reserved
+    start = 1 + _N_SETUP_ROWS * len(txs)
+    tracer = run(start)
+    n_setup_rows = sum(len(s) for s in tracer.w.subcall_setups)
+    if n_setup_rows:
+        tracer = run(start + n_setup_rows)
     w = tracer.w
     rw = w.rw
 
@@ -982,7 +1339,8 @@ def trace_block(
         for i in range(1)
     ]
 
-    # --- call-context setup prologue (rw counters 1..10*n_txs) ---
+    # --- call-context setup prologue: rw counters 1..10*n_txs for the root
+    # frames, then one write per subcall context key ---
     prologue = RWDictionary(1)
     for (tx, bytecode), call_id in zip(txs, tracer.call_ids):
         code_hash = bytecode.hash()
@@ -999,7 +1357,10 @@ def trace_block(
             (CallContextFieldTag.CodeHash, code_hash),
         ):
             prologue.call_context_write(call_id, tag, value)
-    assert prologue.rw_counter == start
+    for setup in w.subcall_setups:
+        for callee_id, tag, value in setup:
+            prologue.call_context_write(callee_id, tag, value)
+    assert prologue.rw_counter == start + n_setup_rows
     w.rw.rws = start_rows + prologue.rws + w.rw.rws
 
     w.withdrawals = list(withdrawals or [])
