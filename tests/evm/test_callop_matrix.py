@@ -1,0 +1,309 @@
+"""CALL x CALLCODE x DELEGATECALL x STATICCALL conformance matrix:
+{warm, cold} x {callee stop, empty code, nonexistent} plus value-transfer,
+precheck-fail (insufficient balance, depth) and negative vectors — the
+per-gadget analog of reference tests/evm/test_callop.py:1-808."""
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from zkevm_specs_tpu.evm import (
+    Block,
+    Bytecode,
+    CallContextFieldTag,
+    ExecutionState,
+    Opcode,
+    RWDictionary,
+    StepState,
+    Tables,
+    Transaction,
+    verify_steps,
+)
+from zkevm_specs_tpu.ops.keccak import EMPTY_CODE_HASH
+from zkevm_specs_tpu.tables.schemas import AccountFieldTag
+from zkevm_specs_tpu.utils.param import (
+    GAS_COST_ACCOUNT_COLD_ACCESS,
+    GAS_COST_CALL_WITH_VALUE,
+    GAS_COST_NEW_ACCOUNT,
+    GAS_COST_WARM_ACCESS,
+    GAS_STIPEND_CALL_WITH_VALUE,
+)
+
+ORIGIN_ADDRESS = 0xFE
+CALLER_ADDRESS = 0xFF      # the contract executing the call op
+CALLEE_ADDRESS = 0xAA      # the call target
+PARENT_VALUE = 77          # current frame's value (for DELEGATECALL)
+
+CALL_OPS = [Opcode.CALL, Opcode.CALLCODE, Opcode.DELEGATECALL, Opcode.STATICCALL]
+
+
+def _op_method(bc, op, *args):
+    return getattr(bc, op.name.lower())(*args)
+
+
+def build_callop_vector(
+    op: Opcode,
+    is_warm: bool = False,
+    callee_kind: str = "stop",     # stop | empty | nonexistent
+    value: int = 0,
+    caller_balance: int = int(1e18),
+    depth: int = 1,
+    success: bool = True,
+    corrupt=None,                   # None | "saved_gas" | "is_success"
+):
+    """Hand-build the exact rw trace the callop gadget looks up."""
+    is_call = op == Opcode.CALL
+    is_callcode = op == Opcode.CALLCODE
+    is_delegatecall = op == Opcode.DELEGATECALL
+    has_value_arg = is_call or is_callcode
+
+    caller_id = 1
+    gas_arg = 0xFFFF
+
+    callee_bytecode = Bytecode().push1(0).stop()
+    if callee_kind == "stop":
+        callee_hash = callee_bytecode.hash()
+    elif callee_kind == "empty":
+        callee_hash = EMPTY_CODE_HASH
+    else:
+        callee_hash = 0
+
+    insufficient = has_value_arg and value > caller_balance
+    depth_ok = depth < 1025
+    precheck_ok = depth_ok and not insufficient
+    enters_callee = precheck_ok and callee_kind == "stop"
+    is_success = 1 if (precheck_ok and not insufficient) else 0
+    if corrupt == "is_success":
+        is_success ^= 1
+
+    # caller bytecode: [value,] 0,0,0,0 pushed via the DSL helper
+    caller_bytecode = Bytecode()
+    if has_value_arg:
+        _op_method(caller_bytecode, op, gas_arg, CALLEE_ADDRESS, value, 0, 0, 0, 0)
+    else:
+        _op_method(caller_bytecode, op, gas_arg, CALLEE_ADDRESS, 0, 0, 0, 0)
+    caller_bytecode.stop()
+    caller_hash = caller_bytecode.hash()
+    n_args = 7 if has_value_arg else 6
+    pc = 33 * n_args
+    sp0 = 1024 - n_args
+
+    rw = RWDictionary(24)
+    callee_call_id = 24
+    rw.call_context_read(caller_id, CallContextFieldTag.TxId, 1)
+    rw.call_context_read(caller_id, CallContextFieldTag.RwCounterEndOfReversion, 0)
+    rw.call_context_read(caller_id, CallContextFieldTag.IsPersistent, 1)
+    rw.call_context_read(caller_id, CallContextFieldTag.CalleeAddress, CALLER_ADDRESS)
+    rw.call_context_read(caller_id, CallContextFieldTag.IsStatic, 0)
+    rw.call_context_read(caller_id, CallContextFieldTag.Depth, depth)
+    if is_delegatecall:
+        rw.call_context_read(caller_id, CallContextFieldTag.CallerAddress, ORIGIN_ADDRESS)
+        rw.call_context_read(caller_id, CallContextFieldTag.Value, PARENT_VALUE)
+
+    # stack frame
+    args = [gas_arg, CALLEE_ADDRESS] + ([value] if has_value_arg else []) + [0, 0, 0, 0]
+    for i, v in enumerate(args):
+        rw.stack_read(caller_id, sp0 + i, v)
+    rw.stack_write(caller_id, 1023, is_success)
+
+    rw.account_read(CALLEE_ADDRESS, AccountFieldTag.CodeHash, callee_hash)
+    rw.tx_access_list_account_write(1, CALLEE_ADDRESS, True, is_warm)
+    rw.call_context_read(callee_call_id, CallContextFieldTag.RwCounterEndOfReversion, 0)
+    rw.call_context_read(callee_call_id, CallContextFieldTag.IsPersistent, is_success)
+
+    if has_value_arg:
+        rw.account_read(CALLER_ADDRESS, AccountFieldTag.Balance, caller_balance)
+    if is_call and precheck_ok:
+        rw.account_write(CALLER_ADDRESS, AccountFieldTag.Balance,
+                         caller_balance - value, caller_balance)
+        rw.account_write(CALLEE_ADDRESS, AccountFieldTag.Balance, value, 0)
+
+    # gas accounting (CallGadget.gas_cost)
+    has_value = int(value != 0) if has_value_arg else 0
+    callee_not_exists = int(callee_hash == 0)
+    gas_cost = (
+        (GAS_COST_WARM_ACCESS if is_warm else GAS_COST_ACCOUNT_COLD_ACCESS)
+        + has_value * (GAS_COST_CALL_WITH_VALUE
+                       + (GAS_COST_NEW_ACCOUNT if is_call and is_success and callee_not_exists else 0))
+    )
+    gas_left = gas_cost + 6400
+    gas_available = gas_left - gas_cost
+    callee_gas_left = min(gas_available - gas_available // 64, gas_arg)
+    sp_delta = 5 + int(is_call) + int(is_callcode)
+
+    if not enters_callee:
+        # caller continues (no-code / precheck-fail branch)
+        for tag in (CallContextFieldTag.LastCalleeId,
+                    CallContextFieldTag.LastCalleeReturnDataOffset,
+                    CallContextFieldTag.LastCalleeReturnDataLength):
+            rw.call_context_write(caller_id, tag, 0)
+        next_step = StepState(
+            execution_state=ExecutionState.STOP, rw_counter=rw.rw_counter,
+            call_id=caller_id, is_root=True, code_hash=caller_hash,
+            program_counter=pc + 1, stack_pointer=sp0 + sp_delta,
+            gas_left=gas_left - gas_cost + has_value * GAS_STIPEND_CALL_WITH_VALUE,
+            reversible_write_counter=3,
+        )
+    else:
+        saved_gas = gas_left - gas_cost - callee_gas_left
+        if corrupt == "saved_gas":
+            saved_gas += 1
+        for tag, v in (
+            (CallContextFieldTag.ProgramCounter, pc + 1),
+            (CallContextFieldTag.StackPointer, sp0 + sp_delta),
+            (CallContextFieldTag.GasLeft, saved_gas),
+            (CallContextFieldTag.MemorySize, 0),
+            (CallContextFieldTag.ReversibleWriteCounter, 1),
+        ):
+            rw.call_context_write(caller_id, tag, v)
+
+        ctx_callee = CALLER_ADDRESS if (is_callcode or is_delegatecall) else CALLEE_ADDRESS
+        ctx_caller = ORIGIN_ADDRESS if is_delegatecall else CALLER_ADDRESS
+        ctx_value = PARENT_VALUE if is_delegatecall else value
+        for tag, v in (
+            (CallContextFieldTag.CallerId, caller_id),
+            (CallContextFieldTag.TxId, 1),
+            (CallContextFieldTag.Depth, depth + 1),
+            (CallContextFieldTag.CallerAddress, ctx_caller),
+            (CallContextFieldTag.CalleeAddress, ctx_callee),
+            (CallContextFieldTag.CallDataOffset, 0),
+            (CallContextFieldTag.CallDataLength, 0),
+            (CallContextFieldTag.ReturnDataOffset, 0),
+            (CallContextFieldTag.ReturnDataLength, 0),
+            (CallContextFieldTag.Value, ctx_value),
+            (CallContextFieldTag.IsSuccess, 1),
+            (CallContextFieldTag.IsStatic, 0),
+            (CallContextFieldTag.LastCalleeId, 0),
+            (CallContextFieldTag.LastCalleeReturnDataOffset, 0),
+            (CallContextFieldTag.LastCalleeReturnDataLength, 0),
+            (CallContextFieldTag.IsRoot, 0),
+            (CallContextFieldTag.IsCreate, 0),
+            (CallContextFieldTag.CodeHash, callee_hash),
+        ):
+            rw.call_context_read(callee_call_id, tag, v)
+        next_step = StepState(
+            execution_state=ExecutionState.PUSH, rw_counter=rw.rw_counter,
+            call_id=callee_call_id, is_root=False, code_hash=callee_hash,
+            program_counter=0, stack_pointer=1024,
+            gas_left=callee_gas_left + has_value * GAS_STIPEND_CALL_WITH_VALUE,
+            reversible_write_counter=2,
+        )
+
+    tables = Tables(
+        block_table=Block().table_assignments(),
+        tx_table=Transaction(id=1).table_assignments(),
+        bytecode_table=(caller_bytecode.table_assignments()
+                        + callee_bytecode.table_assignments()),
+        rw_table=rw.rws,
+    )
+    steps = [
+        StepState(
+            execution_state=ExecutionState.CALL_OP, rw_counter=24,
+            call_id=caller_id, is_root=True, code_hash=caller_hash,
+            program_counter=pc, stack_pointer=sp0, gas_left=gas_left,
+        ),
+        next_step,
+    ]
+    verify_steps(tables=tables, steps=steps, success=success)
+
+
+@pytest.mark.parametrize("op", CALL_OPS)
+@pytest.mark.parametrize("is_warm", [False, True])
+@pytest.mark.parametrize("callee_kind", ["stop", "empty"])
+def test_callop_matrix(op, is_warm, callee_kind):
+    build_callop_vector(op, is_warm=is_warm, callee_kind=callee_kind)
+
+
+@pytest.mark.parametrize("op", [Opcode.CALL, Opcode.CALLCODE])
+def test_callop_nonexistent_callee(op):
+    build_callop_vector(op, callee_kind="nonexistent")
+
+
+@pytest.mark.parametrize("op", [Opcode.CALL, Opcode.CALLCODE])
+@pytest.mark.parametrize("is_warm", [False, True])
+def test_callop_with_value(op, is_warm):
+    build_callop_vector(op, is_warm=is_warm, value=1000)
+
+
+def test_call_with_value_to_new_account():
+    # CALL with value to a nonexistent account pays GAS_COST_NEW_ACCOUNT
+    build_callop_vector(Opcode.CALL, callee_kind="nonexistent", value=5)
+
+
+@pytest.mark.parametrize("op", [Opcode.CALL, Opcode.CALLCODE])
+def test_callop_insufficient_balance(op):
+    build_callop_vector(op, value=100, caller_balance=1, callee_kind="stop")
+
+
+@pytest.mark.parametrize("op", CALL_OPS)
+def test_callop_depth_limit(op):
+    build_callop_vector(op, depth=1025, callee_kind="stop")
+
+
+@pytest.mark.parametrize("op", CALL_OPS)
+def test_callop_corrupt_saved_gas_rejected(op):
+    build_callop_vector(op, corrupt="saved_gas", success=False)
+
+
+@pytest.mark.parametrize("op", [Opcode.CALL, Opcode.STATICCALL])
+def test_callop_corrupt_success_flag_rejected(op):
+    build_callop_vector(op, corrupt="is_success", success=False)
+
+
+# -- context restore on callee halt (instruction.py:481-538) ----------------
+
+@pytest.mark.parametrize("corrupt_restore", [False, True])
+def test_stop_in_subcall_restores_context(corrupt_restore):
+    caller_id, callee_id = 1, 24
+    caller_bytecode = Bytecode().call(0xFFFF, CALLEE_ADDRESS, 0, 0, 0, 0, 0).stop()
+    callee_bytecode = Bytecode().stop()
+    caller_hash, callee_hash = caller_bytecode.hash(), callee_bytecode.hash()
+    caller_pc, caller_sp, caller_gas, caller_rev = 231 + 1, 1023, 5000, 1
+
+    rw = RWDictionary(50)
+    rw.call_context_read(callee_id, CallContextFieldTag.IsSuccess, 1)
+    rw.call_context_read(callee_id, CallContextFieldTag.CallerId, caller_id)
+    for tag, v in (
+        (CallContextFieldTag.IsRoot, 1),
+        (CallContextFieldTag.IsCreate, 0),
+        (CallContextFieldTag.CodeHash, caller_hash),
+        (CallContextFieldTag.ProgramCounter, caller_pc),
+        (CallContextFieldTag.StackPointer, caller_sp),
+        (CallContextFieldTag.GasLeft, caller_gas + (1 if corrupt_restore else 0)),
+        (CallContextFieldTag.MemorySize, 0),
+        (CallContextFieldTag.ReversibleWriteCounter, caller_rev),
+    ):
+        rw.call_context_read(caller_id, tag, v)
+    for tag, v in (
+        (CallContextFieldTag.LastCalleeId, callee_id),
+        (CallContextFieldTag.LastCalleeReturnDataOffset, 0),
+        (CallContextFieldTag.LastCalleeReturnDataLength, 0),
+    ):
+        rw.call_context_write(caller_id, tag, v)
+
+    tables = Tables(
+        block_table=Block().table_assignments(),
+        tx_table=Transaction(id=1).table_assignments(),
+        bytecode_table=(caller_bytecode.table_assignments()
+                       + callee_bytecode.table_assignments()),
+        rw_table=rw.rws,
+    )
+    callee_gas_remaining = 100
+    steps = [
+        StepState(
+            execution_state=ExecutionState.STOP, rw_counter=50,
+            call_id=callee_id, is_root=False, code_hash=callee_hash,
+            program_counter=0, stack_pointer=1024,
+            gas_left=callee_gas_remaining, reversible_write_counter=2,
+        ),
+        StepState(
+            execution_state=ExecutionState.STOP, rw_counter=rw.rw_counter,
+            call_id=caller_id, is_root=True, code_hash=caller_hash,
+            program_counter=caller_pc, stack_pointer=caller_sp,
+            gas_left=caller_gas + callee_gas_remaining,
+            reversible_write_counter=caller_rev + 2,
+        ),
+    ]
+    verify_steps(tables=tables, steps=steps, success=not corrupt_restore)
