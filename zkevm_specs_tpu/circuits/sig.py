@@ -119,10 +119,11 @@ def build_signverify_inputs(
     pk_byte_cols = np.zeros((64, n), dtype=np.uint8)
     for i, pk in enumerate(pub_keys):
         pk_byte_cols[:, i] = np.frombuffer(secp256k1.pubkey_bytes(pk), dtype=np.uint8)
-    # host crypto: the ECDSA verdict bit per row (reference chip behavior)
+    # host crypto: the ECDSA verdict bits, one batched native call
+    # (csrc/ec_secp256k1.c; reference chip behavior, util/ec.py:59-117)
     ecdsa_ok = np.array(
-        [int(secp256k1.verify(h, r, s, pk))
-         for h, (r, s), pk in zip(msg_hashes, sigs, pub_keys)],
+        secp256k1.verify_batch(
+            [(h, r, s, pk) for h, (r, s), pk in zip(msg_hashes, sigs, pub_keys)]),
         dtype=np.uint8,
     )
     extra = {"pk_byte_cols": pk_byte_cols, "ecdsa_ok": ecdsa_ok}

@@ -76,6 +76,17 @@ def sign(msg_hash: int, priv_key: int, k: int) -> Tuple[int, int, int]:
     return v, r, s
 
 
+def _double_mul(u1: int, u2: int, p: Point) -> Point:
+    """u1*G + u2*p — dispatches to the native C kernel (csrc/ec_secp256k1.c)
+    when available, pure Python otherwise."""
+    from ...runtime.native import secp256k1_double_mul_native
+
+    native = secp256k1_double_mul_native(u1, u2, p[0], p[1])
+    if native is not False:
+        return native
+    return add(mul(G, u1), mul(p, u2))
+
+
 def recover(msg_hash: int, v: int, r: int, s: int) -> Point:
     """Recover the public key; returns None if the signature is invalid
     (mirrors eth_keys ecdsa_recover semantics)."""
@@ -95,8 +106,7 @@ def recover(msg_hash: int, v: int, r: int, s: int) -> Point:
     # Q = r^-1 (s*R - z*G)
     u1 = (-msg_hash * r_inv) % N
     u2 = (s * r_inv) % N
-    Q = add(mul(G, u1), mul(Rp, u2))
-    return Q
+    return _double_mul(u1, u2, Rp)
 
 
 def verify(msg_hash: int, r: int, s: int, pubkey: Point) -> bool:
@@ -108,10 +118,24 @@ def verify(msg_hash: int, r: int, s: int, pubkey: Point) -> bool:
     w = _inv(s, N)
     u1 = (msg_hash * w) % N
     u2 = (r * w) % N
-    R = add(mul(G, u1), mul(pubkey, u2))
+    R = _double_mul(u1, u2, pubkey)
     if R is None:
         return False
     return R[0] % N == r
+
+
+def verify_batch(rows) -> list:
+    """Batch ECDSA verify: rows = [(msg_hash, r, s, pubkey)] — one native
+    call for the whole batch (falls back to per-row verify)."""
+    from ...runtime.native import secp256k1_verify_batch_native
+
+    usable = [p is not None and is_on_curve(p) for _, _, _, p in rows]
+    native_rows = [(h, r, s, p if ok else G)
+                   for ok, (h, r, s, p) in zip(usable, rows)]
+    out = secp256k1_verify_batch_native(native_rows)
+    if out is not None:
+        return [ok and bool(v) for ok, v in zip(usable, out)]
+    return [verify(h, r, s, p) for h, r, s, p in rows]
 
 
 def pubkey_bytes(pubkey: Point) -> bytes:
