@@ -127,10 +127,35 @@ def pow_const(xp, a, e: int):
     return L.pad_limbs(xp, result, NL)
 
 
+_INV_EXP_BITS = np.array([(P - 2) >> i & 1 for i in range(P_BITS)][::-1],
+                         dtype=np.uint32)  # MSB first
+
+
 def inv(xp, a):
     """a^(p-2) mod p — Fermat inverse (returns 0 for 0, like the reference's
-    prime_field_inv wrapper behavior is never hit on 0 in practice)."""
-    return pow_const(xp, a, P - 2)
+    prime_field_inv wrapper behavior is never hit on 0 in practice).
+
+    Under jax the square-and-multiply ladder runs as a lax.scan over the
+    (static) exponent bits so the compiled graph holds ONE square+mul body
+    instead of ~400 unrolled field muls."""
+    if xp is np:
+        return pow_const(xp, a, P - 2)
+    import jax
+
+    a16 = L.pad_limbs(xp, a, NL)
+    # derive the initial carry from the input so its sharding/varying axes
+    # match inside shard_map bodies
+    one = (a16 * 0).at[..., 0].set(1)
+
+    def body(acc, bit):
+        sq = mul(xp, acc, acc)
+        withmul = mul(xp, sq, a16)
+        out = L.select(xp, xp.broadcast_to(bit.astype(bool), acc.shape[:-1]),
+                       withmul, sq)
+        return out, None
+
+    acc, _ = jax.lax.scan(body, one, xp.asarray(_INV_EXP_BITS))
+    return acc
 
 
 def from_ints(xp, values):

@@ -24,6 +24,25 @@ def make_mesh(n_devices: int = None, axis: str = "rows"):
     return Mesh(np.array(devices), (axis,))
 
 
+def make_mesh_2d(n_hosts: int, n_chips: int,
+                 axes: tuple = ("hosts", "chips")):
+    """hosts x chips 2-D mesh — the deployment shape for multi-host slices.
+
+    On real hardware the leading axis crosses DCN and the trailing axis
+    rides ICI, so shardings should keep high-bandwidth collectives on the
+    trailing axis (tables sharded by ``chips``, halo exchange within a
+    host); on the virtual CPU platform both axes are local, which is what
+    the multi-host simulation tests exercise."""
+    import jax
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    assert len(devices) >= n_hosts * n_chips, (
+        f"need {n_hosts * n_chips} devices, have {len(devices)}")
+    grid = np.array(devices[: n_hosts * n_chips]).reshape(n_hosts, n_chips)
+    return Mesh(grid, axes)
+
+
 def shard_evm_group(verifier, steps, next_steps, mesh, axis: str = "rows"):
     """Run a CompiledGroupVerifier with the step batch sharded over the mesh.
 

@@ -269,6 +269,14 @@ class Table:
             # kernel can replay this lookup as a single gather
             cs.hint_record.append({"idx": np.asarray(first_row, dtype=np.int32)})
             cs.hint_bits.append("lookup_idx")
+        if ctx.eager and getattr(cs, "lookup_log", None) is not None:
+            # distributed-lookup instrumentation: record which table rows
+            # this batched lookup resolved to (tables/logup.py consumes this
+            # to build the sharded logUp argument)
+            en = (np.ones((ctx.batch,), dtype=bool) if enabled is None
+                  else np.asarray(enabled))
+            cs.lookup_log.append(
+                (self.schema.name, np.asarray(first_row, dtype=np.int64), en))
         return self._gather_rows(first_row)
 
     def to_backend(self, ctx: Ctx) -> "Table":
