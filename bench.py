@@ -29,6 +29,12 @@ def _apply_platform_env():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
+def _kernel_stats_report():
+    from zkevm_specs_tpu.runtime.profiling import STATS
+
+    return STATS.report()
+
+
 def bench_state_circuit():
     """BASELINE config 2: rw-table sorted multiset + consistency kernel."""
     import numpy as np
@@ -172,7 +178,116 @@ def bench_super_jit():
             "steps": len(witness.steps),
             "groups": len(bv.groups),
             "constraint_evals": bv.n_constraints,
+            "kernel_stats": json.loads(_kernel_stats_report()),
         },
+    }
+
+
+def bench_mixed():
+    """Lookup-heavy whole-block bench: a traced block touching the storage,
+    call, copy, log and ALU families (the gadgets with 8-25 lookups/step),
+    verified by the all-circuits CompiledBlockVerifier."""
+    import numpy as np
+
+    from zkevm_specs_tpu.runtime.block import CompiledBlockVerifier
+    from zkevm_specs_tpu.witness.tracer import trace_block
+    from zkevm_specs_tpu.witness.typing import Account, Block, Bytecode, Transaction
+
+    n_txs = int(os.environ.get("BENCH_TXS", "2"))
+    callee = Account(address=0xAA, balance=0,
+                     code=Bytecode().push1(7).pop().stop())
+    txs = []
+    for i in range(n_txs):
+        bc = Bytecode()
+        for j in range(6):
+            bc.push1(j + 1).push1(j).sstore()          # cold SSTOREs
+            bc.push1(j).sload().pop()                  # warm SLOADs
+            bc.push1(3).push1(5).add().pop()
+            bc.push1(8).push1(0).sha3().pop()
+            bc.push1(0x77).push1(4).push1(0).log1()
+            bc.push1(0).push1(0).push1(0).push1(0).push1(0)
+            bc.push2(0xAA).push2(0xFFFF).call().pop()  # warm after 1st
+        bc.stop()
+        txs.append((Transaction(id=i + 1, gas=1000000, gas_price=int(2e9),
+                                caller_address=0xFE, callee_address=0xFF + i),
+                    bc))
+    total_gas = sum(tx.gas for tx, _ in txs)
+
+    t0 = time.time()
+    witness = trace_block(Block(base_fee=int(1e9)), txs,
+                          accounts={0xAA: callee})
+    t_trace = time.time() - t0
+    t0 = time.time()
+    bv = CompiledBlockVerifier(witness)
+    t_build = time.time() - t0
+    prepared = bv.prepare()
+    failures = bv.run_device(prepared)   # warmup + compile
+    assert not failures
+    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+    t0 = time.time()
+    for _ in range(n_iters):
+        failures = bv.run_device(prepared)
+    t_device = (time.time() - t0) / n_iters
+    assert not failures
+    return {
+        "metric": "mixed_block_device_gas_per_s",
+        "value": round(total_gas / t_device, 1),
+        "unit": "gas/s",
+        "vs_baseline": 1.0,
+        "detail": {"device_s": round(t_device, 4), "build_s": round(t_build, 1),
+                   "trace_s": round(t_trace, 3), "steps": len(witness.steps),
+                   "groups": len(bv.groups),
+                   "circuits": [n for n, _ in bv.circuit_kernels]},
+    }
+
+
+def bench_state_storage():
+    """State circuit over the expensive tags: Storage/Account rows with MPT
+    lookups (round-1 bench covered only Memory/Stack)."""
+    import numpy as np
+    import jax
+
+    from zkevm_specs_tpu.circuits.state import (
+        AccountOp, StartOp, StorageOp, assign_state_circuit,
+        make_state_check_fn, mpt_table_from_ops, pack_state_inputs,
+    )
+    from zkevm_specs_tpu.tables.schemas import AccountFieldTag, RW
+
+    n_rows = int(os.environ.get("BENCH_STEPS", "4096"))
+    ops = [StartOp(rw_counter=1, rw=RW.Read, lexicographic_ordering_selector=0)]
+    rwc = 2
+    n_storage = (n_rows - 1) * 3 // 4
+    for i in range(n_storage):
+        ops.append(StorageOp(rw_counter=rwc, rw=RW.Write, tx_id=1,
+                             addr=0x1000 + i, key=i, value=i + 1,
+                             committed_value=0))
+        rwc += 1
+    for i in range(n_rows - 1 - n_storage):
+        ops.append(AccountOp(rw_counter=rwc, rw=RW.Write, addr=0x2000 + i,
+                             field_tag=AccountFieldTag.Balance, value=i + 1,
+                             committed_value=0))
+        rwc += 1
+    rows = assign_state_circuit(ops)
+    mpt_rows = mpt_table_from_ops(ops)
+    cols, mpt_tree, meta = pack_state_inputs(rows, mpt_rows)
+    jfn = jax.jit(make_state_check_fn(meta))
+    args = jax.device_put((cols, mpt_tree))
+    out = jfn(*args)
+    out.block_until_ready()
+    n_iters = int(os.environ.get("BENCH_ITERS", "20"))
+    t0 = time.time()
+    for _ in range(n_iters):
+        out = jfn(*args)
+    out.block_until_ready()
+    dt = (time.time() - t0) / n_iters
+    assert not np.asarray(out).any()
+    return {
+        "metric": "state_storage_rows_per_s_chip",
+        "value": round(len(rows) / dt, 1),
+        "unit": "rows/s",
+        "vs_baseline": 1.0,
+        "detail": {"rows": len(rows), "iter_ms": round(dt * 1e3, 3),
+                   "mpt_rows": len(mpt_rows)},
     }
 
 
@@ -295,9 +410,16 @@ def main():
     if mode == "sig":
         print(json.dumps(bench_sig()))
         return
+    if mode == "mixed":
+        print(json.dumps(bench_mixed()))
+        return
+    if mode == "state_storage":
+        print(json.dumps(bench_state_storage()))
+        return
     if mode != "evm":
         sys.exit(f"unknown BENCH_MODE={mode!r} "
-                 "(choose: evm, state, super, super_jit, sig, frmul)")
+                 "(choose: evm, state, state_storage, super, super_jit, "
+                 "mixed, sig, frmul)")
 
     t_setup = time.time()
     import jax
@@ -339,29 +461,24 @@ def main():
         if base.get("value"):
             vs_baseline = evals_per_s / base["value"]
 
+    # ONE line with the headline metric and the detail merged (tooling
+    # reads the last stdout JSON line)
     result = {
         "metric": "evm_constraint_evals_per_s_chip",
         "value": round(evals_per_s, 1),
         "unit": "constraint evals/s",
         "vs_baseline": round(vs_baseline, 3),
+        "detail": {
+            "steps_per_s": round(steps_per_s, 1),
+            "constraints_per_step": constraints_per_step,
+            "batch": n_steps,
+            "iter_ms": round(dt * 1e3, 3),
+            "compile_s": round(t_compile, 1),
+            "platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+        },
     }
     print(json.dumps(result))
-    print(
-        json.dumps(
-            {
-                "detail": {
-                    "steps_per_s": round(steps_per_s, 1),
-                    "constraints_per_step": constraints_per_step,
-                    "batch": n_steps,
-                    "iter_ms": round(dt * 1e3, 3),
-                    "compile_s": round(t_compile, 1),
-                    "platform": jax.devices()[0].platform,
-                    "device": str(jax.devices()[0]),
-                }
-            }
-        ),
-        file=sys.stderr,
-    )
 
 
 if __name__ == "__main__":

@@ -76,6 +76,7 @@ def wide_program() -> Bytecode:
     bc.push2(0xCAFE).balance().pop()
     bc.push2(0xCAFE).extcodesize().pop()
     bc.push2(0xCAFE).extcodehash().pop()
+    bc.push1(2).push1(0).push1(128).push2(0xCAFE).extcodecopy()
     bc.push2(0xBEEF).balance().pop()  # non-existent account
     # copies + hashing
     bc.push1(8).push1(2).push1(64).calldatacopy()

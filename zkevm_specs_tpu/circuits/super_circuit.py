@@ -175,14 +175,26 @@ def sig_witness_from_txs(signed_txs, chain_id: int, keccak_randomness: int):
 
 def verify_super_circuit(
     witness: BlockWitness,
-    keccak_randomness: int = 0x64,
+    keccak_randomness: Optional[int] = None,
     copy_circuit=None,
     exp_circuit=None,
     signed_txs=None,
     tx_circuit_params: Optional[Tuple[int, int, int]] = None,
-    k_bytecode: int = 10,
+    k_bytecode: Optional[int] = None,
+    config=None,
 ) -> None:
-    """Verify every sub-circuit of a block witness against shared tables."""
+    """Verify every sub-circuit of a block witness against shared tables.
+
+    Capacity/randomness knobs default from a CircuitConfig (config.py) —
+    the typed replacement for the reference's loose MAX_* parameters."""
+    from ..config import DEFAULT_CONFIG
+
+    config = config or DEFAULT_CONFIG
+    keccak_randomness = (config.keccak_randomness if keccak_randomness is None
+                         else keccak_randomness)
+    k_bytecode = config.bytecode_k if k_bytecode is None else k_bytecode
+    if signed_txs is not None and tx_circuit_params is None:
+        tx_circuit_params = config.tx_circuit_params()
     # shared keccak table covers all bytecode hashes
     codes = [bytes(bc.code) for bc in witness.bytecodes]
     # the shared keccak table covers bytecode hashes plus any SHA3 preimages

@@ -103,16 +103,25 @@ class CompiledBlockVerifier:
     def __init__(
         self,
         witness: BlockWitness,
-        keccak_randomness: int = 0x64,
+        keccak_randomness: Optional[int] = None,
         pad_pow2: bool = True,
         end_with_last_step: bool = True,
         copy_circuit=None,
         exp_circuit=None,
         signed_txs=None,
         tx_circuit_params: Optional[Tuple[int, int, int]] = None,
-        k_bytecode: int = 10,
+        k_bytecode: Optional[int] = None,
+        config=None,
     ):
+        from ..config import DEFAULT_CONFIG
         from ..runtime.jit import CompiledGroupVerifier
+
+        config = config or DEFAULT_CONFIG
+        keccak_randomness = (config.keccak_randomness if keccak_randomness is None
+                             else keccak_randomness)
+        k_bytecode = config.bytecode_k if k_bytecode is None else k_bytecode
+        if signed_txs is not None and tx_circuit_params is None:
+            tx_circuit_params = config.tx_circuit_params()
 
         self.witness = witness
         codes = [bytes(bc.code) for bc in witness.bytecodes]
@@ -259,13 +268,20 @@ class CompiledBlockVerifier:
 
     def run_device(self, prepared):
         """Device-only pass: every compiled kernel over its shipped inputs.
-        Returns {step_index | ('state', row) | (circuit, row): failed}."""
+        Returns {step_index | ('state', row) | (circuit, row): failed}.
+        Per-kernel wall clock accumulates in runtime.profiling.STATS."""
+        from .profiling import STATS
+
         outs = []
         for g, args in zip(self.groups, prepared["groups"]):
-            outs.append(g["verifier"](*args))
-        state_out = prepared["state_fn"](*prepared["state_args"])
-        circuit_outs = [(name, kernel(args))
-                        for name, kernel, args in prepared["circuits"]]
+            with STATS.timed(f"evm:{g['state'].name}"):
+                outs.append(g["verifier"](*args))
+        with STATS.timed("state"):
+            state_out = prepared["state_fn"](*prepared["state_args"])
+        circuit_outs = []
+        for name, kernel, args in prepared["circuits"]:
+            with STATS.timed(name):
+                circuit_outs.append((name, kernel(args)))
 
         failures: Dict[object, bool] = {}
         for g, out in zip(self.groups, outs):

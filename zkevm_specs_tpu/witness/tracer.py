@@ -101,6 +101,7 @@ _STATE_BY_OPCODE = {
     Opcode.CODECOPY: ExecutionState.CODECOPY,
     Opcode.GASPRICE: ExecutionState.GASPRICE,
     Opcode.EXTCODESIZE: ExecutionState.EXTCODESIZE,
+    Opcode.EXTCODECOPY: ExecutionState.EXTCODECOPY,
     Opcode.EXTCODEHASH: ExecutionState.EXTCODEHASH,
     Opcode.RETURNDATASIZE: ExecutionState.RETURNDATASIZE,
     Opcode.BLOCKHASH: ExecutionState.BLOCKHASH,
@@ -1120,6 +1121,35 @@ class _Tracer:
                 self.memory[memory_offset + i] = b
         self.pc += 1
 
+    def op_extcodecopy(self, op):
+        addr = self.spop()
+        memory_offset = self.spop()
+        code_offset = self.spop()
+        size = self.spop()
+        self._access_account(addr)
+        code_hash = self._account_code_hash(addr)
+        self.rw.account_read(addr, AccountFieldTag.CodeHash, code_hash)
+        self._expand_dyn(memory_offset if size else 0, size)
+        self._copier_gas(size)
+        ext = self.codes.get(addr)
+        code = ext.code if ext is not None else b""
+        is_code = ext.is_code if ext is not None else []
+        if code_hash != 0 and ext is None:
+            self._register_code(Bytecode(bytearray()))
+        if size:
+            src_data = {code_offset + i: (code[code_offset + i],
+                                          int(is_code[code_offset + i]))
+                        for i in range(size) if code_offset + i < len(code)}
+            self.w.copy_circuit.copy(
+                self.copy_r, self.rw, code_hash, CopyDataTypeTag.Bytecode,
+                self.call_id, CopyDataTypeTag.Memory, code_offset, len(code),
+                memory_offset, size, src_data,
+            )
+            for i in range(size):
+                b = code[code_offset + i] if code_offset + i < len(code) else 0
+                self.memory[memory_offset + i] = b
+        self.pc += 1
+
     def op_sha3(self, op):
         offset = self.spop()
         length = self.spop()
@@ -1263,6 +1293,7 @@ _HANDLERS = {
     Opcode.BLOCKHASH: _Tracer.op_blockhash,
     Opcode.BALANCE: _Tracer.op_balance,
     Opcode.EXTCODESIZE: _Tracer.op_extcodesize,
+    Opcode.EXTCODECOPY: _Tracer.op_extcodecopy,
     Opcode.EXTCODEHASH: _Tracer.op_extcodehash,
     Opcode.SHA3: _Tracer.op_sha3,
     Opcode.LOG0: _Tracer.op_log,
