@@ -346,6 +346,54 @@ def bench_sig():
     }
 
 
+def bench_ecc():
+    """ECC-circuit throughput with the native bn254 kernel
+    (csrc/ec_bn254.c): EcAdd + EcMul witness/verify rows plus pairing
+    checks — the precompile 0x06-0x08 serving path (reference
+    ecc_circuit.py, util/ec.py:120-199)."""
+    from zkevm_specs_tpu.circuits.ecc import EcAdd, EcMul, EcPairing, EccCircuit, verify_circuit
+    from zkevm_specs_tpu.ops.ecc import bn254
+
+    n_add = int(os.environ.get("BENCH_ECC_ADDS", "64"))
+    n_mul = int(os.environ.get("BENCH_ECC_MULS", "64"))
+    n_pair = int(os.environ.get("BENCH_ECC_PAIRS", "8"))
+
+    g = bn254.G1
+    pts = [bn254.g1_mul(g, 3 + i) for i in range(max(n_add, n_mul))]
+
+    t0 = time.time()
+    circuit = EccCircuit(n_add, n_mul, n_pair)
+    for i in range(n_add):
+        p0, p1 = pts[i], pts[(i + 1) % len(pts)]
+        circuit.append_add(EcAdd(p=p0, q=p1, out=bn254.g1_add(p0, p1)))
+    for i in range(n_mul):
+        k = 0x1234 + i
+        circuit.append_mul(EcMul(p=pts[i], s=k, out=bn254.g1_mul(pts[i], k)))
+    neg_g = (g[0], bn254.P - g[1])
+    g2 = bn254.G2
+    # EVM byte order for g2 coords: (x_c1, x_c0, y_c1, y_c0)
+    g2c = (g2[0].c[1], g2[0].c[0], g2[1].c[1], g2[1].c[0])
+    for _ in range(n_pair):
+        circuit.append_pairing(
+            EcPairing(g1_pts=[g, neg_g], g2_pts=[g2c, g2c], out=1))
+    t_witness = time.time() - t0
+
+    t0 = time.time()
+    verify_circuit(circuit, 0x64)
+    t_verify = time.time() - t0
+    n_ops = n_add + n_mul + n_pair
+    total = t_witness + t_verify
+    return {
+        "metric": "ecc_ops_verified_per_s",
+        "value": round(n_ops / total, 1),
+        "unit": "ops/s",
+        "vs_baseline": 1.0,
+        "detail": {"n_add": n_add, "n_mul": n_mul, "n_pairing_checks": n_pair,
+                   "witness_s": round(t_witness, 3),
+                   "verify_s": round(t_verify, 3)},
+    }
+
+
 def bench_fr_mul():
     """Fr modular-mul kernel: Pallas (limb-major VMEM-resident) vs the XLA
     elementwise path; reports the faster one in field muls/s/chip."""
@@ -416,10 +464,13 @@ def main():
     if mode == "state_storage":
         print(json.dumps(bench_state_storage()))
         return
+    if mode == "ecc":
+        print(json.dumps(bench_ecc()))
+        return
     if mode != "evm":
         sys.exit(f"unknown BENCH_MODE={mode!r} "
                  "(choose: evm, state, state_storage, super, super_jit, "
-                 "mixed, sig, frmul)")
+                 "mixed, sig, frmul, ecc)")
 
     t_setup = time.time()
     import jax

@@ -154,6 +154,11 @@ def g1_is_on_curve(pt: PointG1) -> bool:
 
 
 def g1_add(p1: PointG1, p2: PointG1) -> PointG1:
+    from ...runtime.native import bn254_g1_add_native
+
+    native = bn254_g1_add_native(p1, p2)
+    if native is not False:
+        return native
     if p1 is None:
         return p2
     if p2 is None:
@@ -172,6 +177,12 @@ def g1_add(p1: PointG1, p2: PointG1) -> PointG1:
 
 
 def g1_mul(pt: PointG1, k: int) -> PointG1:
+    from ...runtime.native import bn254_g1_mul_native
+
+    if 0 <= k < 2**256:
+        native = bn254_g1_mul_native(pt, k)
+        if native is not False:
+            return native
     result: PointG1 = None
     addend = pt
     while k:
@@ -226,6 +237,15 @@ def g2_add(p1: PointG2, p2: PointG2) -> PointG2:
 
 
 def g2_mul(pt: PointG2, k: int) -> PointG2:
+    if k == R and pt is not None:
+        # the circuit's subgroup check (`g2_mul(pt, R) is None`): answer it
+        # natively; fall through to Python only for the rare non-member
+        from ...runtime.native import bn254_g2_subgroup_native
+
+        x, y = pt
+        native = bn254_g2_subgroup_native(x.c[0], x.c[1], y.c[0], y.c[1])
+        if native:
+            return None
     result: PointG2 = None
     addend = pt
     while k:
@@ -356,6 +376,14 @@ def pairing(Q: PointG2, Pt: PointG1) -> FQ12:
 
 def pairing_check(pairs: List[Tuple[PointG1, PointG2]]) -> bool:
     """prod e(P_i, Q_i) == 1 — the ecPairing precompile predicate."""
+    from ...runtime.native import bn254_pairing_check_native
+
+    native = bn254_pairing_check_native(
+        [(pt, None if q is None else ((q[0].c[0], q[0].c[1]),
+                                      (q[1].c[0], q[1].c[1])))
+         for pt, q in pairs])
+    if native is not None:
+        return native
     f = FQ12.one()
     for Pt, Q in pairs:
         f = f * pairing(Q, Pt)
