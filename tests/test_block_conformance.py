@@ -178,3 +178,39 @@ def test_block_conformance_corrupt_storage_rejected():
             break
     with pytest.raises(AssertionError):
         verify_super_circuit(witness)
+
+
+def test_block_conformance_mega():
+    """Widest single-block trace: the wide program plus the full CALL family
+    (CALL with value, STATICCALL, DELEGATECALL, CALLCODE into a returning
+    callee), RETURNDATACOPY, and taken/not-taken jumps — ~55 execution
+    states verified through every sub-circuit in one coherent witness."""
+    bc = wide_program()
+    callee = Bytecode().push1(0x42).push1(0).mstore().push1(32).push1(0).return_()
+    bc.push1(32).push1(0).push1(0).push1(0).push1(5).push2(0x5000).push2(0xFFFF).call().pop()
+    bc.push1(8).push1(0).push2(0x0100).returndatacopy()
+    bc.push1(32).push1(0).push1(0).push1(0).push2(0x5000).push2(0xFFFF).staticcall().pop()
+    bc.push1(32).push1(0).push1(0).push1(0).push2(0x5000).push2(0xFFFF).delegatecall().pop()
+    bc.push1(32).push1(0).push1(0).push1(0).push1(0).push2(0x5000).push2(0xFFFF).callcode().pop()
+    # flow: forward JUMP over a dead STOP, then a not-taken JUMPI
+    target = len(bc.code) + 5
+    bc.push2(target).jump()
+    bc.stop()
+    bc.jumpdest()
+    bc.push1(0).push2(target + 9).jumpi()
+    bc.stop()
+    block = Block(base_fee=int(1e9), number=256,
+                  history_hashes=[0x1000 + i for i in range(256)])
+    tx = Transaction(id=1, gas=2000000, gas_price=int(2e9),
+                     caller_address=0xFE, callee_address=0xFF, value=10,
+                     call_data=bytes(range(1, 33)))
+    accounts = {
+        0xCAFE: Account(address=0xCAFE, balance=1234,
+                        code=Bytecode().push1(1).stop()),
+        0x5000: Account(address=0x5000, balance=0, code=callee),
+    }
+    witness = trace_block(block, [(tx, bc)], accounts=accounts)
+    states = {s.execution_state for s in witness.steps}
+    assert len(states) >= 55, (
+        f"only {len(states)} states touched: {sorted(s.name for s in states)}")
+    verify_super_circuit(witness)
