@@ -479,7 +479,11 @@ def main():
     from zkevm_specs_tpu.evm import ExecutionState
     from zkevm_specs_tpu.runtime.jit import CompiledGroupVerifier
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "8192"))
+    # default batch chosen from a sweep on TPU v5e: the per-lane kernel is
+    # dispatch-bound up past 512k lanes (iter_ms flat ~0.1 ms from 8k to
+    # 512k), so report at a throughput-representative batch; override with
+    # BENCH_STEPS to sweep
+    n_steps = int(os.environ.get("BENCH_STEPS", "131072"))
     tables, steps, nexts = graft._build_add_workload(n_steps)
 
     verifier = CompiledGroupVerifier(tables, ExecutionState.ADD, steps, nexts)
