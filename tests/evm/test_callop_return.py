@@ -161,7 +161,10 @@ def test_return_revert_root(is_return):
                 memory_word_size=1,
             ),
             StepState(
-                execution_state=ExecutionState.EndTx, rw_counter=28, call_id=1,
+                # REVERT skips the reversion-mirror section: delta = 4 rows
+                # + reversible_write_counter (2); RETURN: plain 4
+                execution_state=ExecutionState.EndTx,
+                rw_counter=28 if is_return else 30, call_id=1,
             ),
         ],
     )

@@ -68,7 +68,10 @@ def test_create_empty_initcode(is_create2):
     rw.call_context_read(1, CallContextFieldTag.CallerAddress, CALLER)
     rw.account_write(CALLER, AccountFieldTag.Nonce, nonce_new, nonce_new - 1)
     rw.account_read(CALLER, AccountFieldTag.Balance, 100)
-    rw.call_context_read(1, CallContextFieldTag.IsSuccess, 1)
+    # the CREATE outcome is read from the CALLEE context (create.py deviation
+    # note: the reference reads the caller's IsSuccess, incoherent in an
+    # integrated witness)
+    rw.call_context_read(9, CallContextFieldTag.IsSuccess, 1)
     rw.call_context_read(1, CallContextFieldTag.IsStatic, 0)
     rw.call_context_read(1, CallContextFieldTag.RwCounterEndOfReversion, 0)
     rw.call_context_read(1, CallContextFieldTag.IsPersistent, 1)
@@ -104,7 +107,8 @@ def test_create_empty_initcode(is_create2):
                   call_id=1, is_root=True, code_hash=h, program_counter=pc0 + 1,
                   stack_pointer=1023, gas_left=gas - GAS_COST_CREATE
                   - (0 if not is_create2 else 0),
-                  reversible_write_counter=3),
+                  # access-list write + transfer pair + contract nonce write
+                  reversible_write_counter=4),
     ]
     verify_steps(tables=tables, steps=steps)
 
@@ -127,7 +131,7 @@ def test_create_insufficient_balance():
         .call_context_read(1, CallContextFieldTag.CallerAddress, CALLER)
         .account_write(CALLER, AccountFieldTag.Nonce, 1, 0)
         .account_read(CALLER, AccountFieldTag.Balance, 100)
-        .call_context_read(1, CallContextFieldTag.IsSuccess, 0)
+        .call_context_read(9, CallContextFieldTag.IsSuccess, 0)
         .call_context_read(1, CallContextFieldTag.IsStatic, 0)
         .call_context_read(1, CallContextFieldTag.RwCounterEndOfReversion, 0)
         .call_context_read(1, CallContextFieldTag.IsPersistent, 1)

@@ -48,7 +48,15 @@ def create(instruction: Instruction):
     caller_address = instruction.word_to_address(caller_address_word)
     nonce, nonce_prev = instruction.account_write(caller_address, AccountFieldTag.Nonce)
     balance = instruction.account_read(caller_address, AccountFieldTag.Balance)
-    is_success = instruction.call_context_lookup(CallContextFieldTag.IsSuccess)
+    # The CREATE's outcome is the *initcode frame's* IsSuccess.  The
+    # reference reads it from the CALLER's call context (create.py:45,
+    # test_create.py:304) — incoherent in an integrated witness: a reverting
+    # CREATE inside a succeeding caller would need two different values at
+    # one state-circuit key.  Read it from the callee context instead (same
+    # row position; the callop gadget does likewise, callop.py:277).
+    is_success = instruction.call_context_lookup(
+        CallContextFieldTag.IsSuccess, call_id=callee_call_id
+    )
     is_static = instruction.call_context_lookup(CallContextFieldTag.IsStatic)
     reversion_info = instruction.reversion_info()
 
@@ -207,7 +215,16 @@ def create(instruction: Instruction):
                 expected_value,
             )
 
-        reversible_write_counter_delta = 3 if not_address_collision and not has_init_code else 0
+        # Reversible-write accounting: the access-list write (emitted for
+        # every precheck-ok CREATE) is mirrored at the caller's current
+        # offset, so it must be counted — the reference counts it in the
+        # initcode path (create.py:179 saves curr+1) but drops it here
+        # (create.py:240-246 counts only transfer+nonce), which would make
+        # the next reversible write's mirror collide.  Counted consistently:
+        # +1 access list when precheck ok, +3 transfer/nonce when deployed.
+        reversible_write_counter_delta = (1 if is_precheck_ok else 0) + (
+            3 if not_address_collision and not has_init_code else 0
+        )
         instruction.constrain_step_state_transition(
             rw_counter=Transition.delta(instruction.rw_offset_f()),
             program_counter=Transition.delta(1),

@@ -64,23 +64,28 @@ def return_revert(instruction: Instruction):
 
     is_root = instruction.branch(instruction.curr.is_root)
     if not is_root and not is_create:
-        # D. return the memory chunk to the caller
+        # D. return the memory chunk to the caller.  The reference emits the
+        # copy lookup even for copy_length == 0 (return_revert.py:71-84),
+        # which would require a zero-length copy-table row no witness builder
+        # can produce; gated on copy_length != 0 here (same convention as the
+        # callop precompile branch, callop.py:187-201).
         caller_return_offset = instruction.call_context_lookup(CallContextFieldTag.ReturnDataOffset)
         caller_return_length = instruction.call_context_lookup(CallContextFieldTag.ReturnDataLength)
         copy_length = instruction.min(return_length, caller_return_length, N_BYTES_MEMORY_ADDRESS)
-        copy_rwc_inc, _ = instruction.copy_lookup(
-            instruction.curr.call_id,
-            CopyDataTypeTag.Memory,
-            instruction.next.call_id,
-            CopyDataTypeTag.Memory,
-            return_offset,
-            return_end,
-            caller_return_offset,
-            copy_length,
-            instruction.curr.rw_counter + instruction.rw_offset_f(),
-        )
-        instruction.constrain_equal(copy_rwc_inc, 2 * copy_length)
-        instruction.add_rw_counter_dyn(copy_rwc_inc)
+        if instruction.branch(1 - instruction.is_zero(copy_length)):
+            copy_rwc_inc, _ = instruction.copy_lookup(
+                instruction.curr.call_id,
+                CopyDataTypeTag.Memory,
+                instruction.next.call_id,
+                CopyDataTypeTag.Memory,
+                return_offset,
+                return_end,
+                caller_return_offset,
+                copy_length,
+                instruction.curr.rw_counter + instruction.rw_offset_f(),
+            )
+            instruction.constrain_equal(copy_rwc_inc, 2 * copy_length)
+            instruction.add_rw_counter_dyn(copy_rwc_inc)
         rwc_delta = rwc_delta + 2 + 2 * copy_length
 
     # B1. end the execution — go to EndTx only when is_root
@@ -93,11 +98,18 @@ def return_revert(instruction: Instruction):
         return_offset, return_length
     )
 
-    # E. revert state changes: the reference's `if not is_return:` block
-    # (return_revert.py:106-107) never fires — py_ecc FQ has no __bool__,
-    # so `not FQ(0)` is False; the test vectors (e.g. 24+4 rw delta for
-    # REVERT with reversible_write_counter=2) confirm.  Mirrored for
-    # verdict parity by omitting the addition.
+    # E. revert state changes: REVERT lanes skip the reversion-mirror
+    # section — the mirrored writes of this frame's reversible_write_counter
+    # state writes occupy the next reversible_write_counter rw counters
+    # (LIFO, ending at RwCounterEndOfReversion).  The reference *intends*
+    # this (return_revert.py:106-107 "E. Revert state changes") but the
+    # guard `if not is_return:` is dead code — py_ecc FQ defines no
+    # __bool__, so `not FQ(0)` is always False — and its per-gadget vectors
+    # encode the dead behavior.  The skip is required for a coherent
+    # whole-block witness (state circuit + EndBlock rw totality), so it is
+    # implemented here; error halts already do the same (errors.py _finish).
+    if not instruction.branch(is_return):
+        rwc_delta = rwc_delta + instruction.curr.reversible_write_counter
 
     if is_root:
         is_persistent = instruction.call_context_lookup(CallContextFieldTag.IsPersistent)
@@ -109,10 +121,12 @@ def return_revert(instruction: Instruction):
             call_id=Transition.same(),
         )
     else:
-        # C. restore caller context
+        # C. restore caller context; only RETURN accumulates this frame's
+        # reversible writes into the caller (REVERT already mirrored them)
         instruction.step_state_transition_to_restored_context(
             rw_counter_delta=rwc_delta,
             return_data_offset=return_offset,
             return_data_length=return_length,
             gas_left=callee_gas_left - memory_expansion_gas,
+            accumulated_reversible=is_return * instruction.curr.reversible_write_counter,
         )

@@ -485,6 +485,7 @@ class Instruction:
         return_data_length: F,
         gas_left: F,
         caller_id: Optional[F] = None,
+        accumulated_reversible: Optional[F] = None,
     ):
         rw_counter_delta += 11 + int(caller_id is None)
         if caller_id is None:
@@ -518,9 +519,18 @@ class Instruction:
                 expected,
             )
 
-        reversible_write_counter = self.fq(0)
-        if self.curr.execution_state_static.halts_in_success():
-            reversible_write_counter = self.curr.reversible_write_counter
+        # Accumulate the callee's reversible writes into the caller only when
+        # the callee halts in success.  The reference keys this on the static
+        # execution state (instruction.py:339-346), which mis-accumulates for
+        # REVERT lanes (state RETURN covers both RETURN and REVERT opcodes);
+        # callers pass accumulated_reversible for per-lane accounting so a
+        # reverted callee's already-mirrored writes are not double-counted.
+        if accumulated_reversible is not None:
+            reversible_write_counter = accumulated_reversible
+        else:
+            reversible_write_counter = self.fq(0)
+            if self.curr.execution_state_static.halts_in_success():
+                reversible_write_counter = self.curr.reversible_write_counter
 
         self.constrain_step_state_transition(
             rw_counter=Transition.delta(rw_counter_delta),
