@@ -174,7 +174,7 @@ def build_callop_vector(
             (CallContextFieldTag.ReturnDataLength, 0),
             (CallContextFieldTag.Value, ctx_value),
             (CallContextFieldTag.IsSuccess, 1),
-            (CallContextFieldTag.IsStatic, 0),
+            (CallContextFieldTag.IsStatic, int(op == Opcode.STATICCALL)),
             (CallContextFieldTag.LastCalleeId, 0),
             (CallContextFieldTag.LastCalleeReturnDataOffset, 0),
             (CallContextFieldTag.LastCalleeReturnDataLength, 0),

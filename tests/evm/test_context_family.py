@@ -258,7 +258,7 @@ def test_balance(exists, warm):
         StepState(
             execution_state=ExecutionState.STOP, rw_counter=9 + n_rw, call_id=1,
             is_root=True, code_hash=h, program_counter=34, stack_pointer=1023,
-            gas_left=0,
+            gas_left=0, reversible_write_counter=1,
         ),
     ]
     verify_steps(tables=tables, steps=steps)

@@ -159,7 +159,7 @@ def test_extcodehash(exists, warm):
         StepState(
             execution_state=ExecutionState.STOP, rw_counter=16, call_id=1,
             is_root=True, code_hash=h, program_counter=34, stack_pointer=1023,
-            gas_left=0,
+            gas_left=0, reversible_write_counter=1,
         ),
     ]
     verify_steps(tables=tables, steps=steps)
@@ -292,7 +292,7 @@ def test_extcodecopy(warm, length):
         StepState(
             execution_state=ExecutionState.STOP, rw_counter=9 + n_rw, call_id=1,
             is_root=True, code_hash=h, program_counter=133, stack_pointer=1024,
-            gas_left=0, memory_word_size=next_mem,
+            gas_left=0, memory_word_size=next_mem, reversible_write_counter=1,
         ),
     ]
     verify_steps(tables=tables, steps=steps)

@@ -1,0 +1,174 @@
+"""Block-level CREATE/CREATE2 conformance: traced initcode frames with
+deployment, reverting initcode, collisions, empty initcode and precheck
+failures, verified through every sub-circuit (integrated-witness analog of
+reference tests/evm/test_create.py)."""
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from zkevm_specs_tpu.circuits.super_circuit import verify_super_circuit
+from zkevm_specs_tpu.evm.execution_state import ExecutionState
+from zkevm_specs_tpu.ops.keccak import keccak256
+from zkevm_specs_tpu.tables.schemas import Target
+from zkevm_specs_tpu.witness.rlp import rlp_encode
+from zkevm_specs_tpu.witness.tracer import trace_block
+from zkevm_specs_tpu.witness.typing import Account, Block, Bytecode, Transaction
+
+
+def _tx(gas=2000000, **kw):
+    return Transaction(id=1, gas=gas, gas_price=int(2e9), caller_address=0xFE,
+                       callee_address=0xFF, **kw)
+
+
+def _trace(bc, accounts=None, gas=2000000):
+    return trace_block(Block(base_fee=int(1e9)), [(_tx(gas=gas), bc)],
+                       accounts=accounts)
+
+
+def self_replicating_initcode() -> Bytecode:
+    """Initcode that deploys its own bytes: CODECOPY(0,0,len); RETURN(0,len).
+    Needed because the deploy gadget pins the account CodeHash to the
+    initcode frame's code hash (reference return_revert.py:40)."""
+    ic = Bytecode()
+    # length patched after assembly: the code is 12 bytes long
+    ic.push1(12).push1(0).push1(0).codecopy().push1(12).push1(0).return_()
+    assert len(ic.code) == 12
+    return ic
+
+
+def reverting_initcode() -> Bytecode:
+    return Bytecode().push1(0x31).push1(0x0F).sstore().push1(0).push1(0).revert()
+
+
+def _store_initcode(bc: Bytecode, initcode: Bytecode, offset=0) -> int:
+    """MSTORE the initcode into memory left-aligned at `offset`;
+    returns its length."""
+    data = bytes(initcode.code)
+    for i in range(0, len(data), 32):
+        word = int.from_bytes(data[i:i + 32].ljust(32, b"\x00"), "big")
+        bc.push32(word).push1(offset + i).mstore()
+    return len(data)
+
+
+def create_address(deployer: int, nonce: int) -> int:
+    return int.from_bytes(
+        keccak256(rlp_encode([deployer.to_bytes(20, "big"), nonce]))[-20:], "big")
+
+
+def create2_address(deployer: int, salt: int, init_hash: int) -> int:
+    return int.from_bytes(
+        keccak256(b"\xff" + deployer.to_bytes(20, "big")
+                  + salt.to_bytes(32, "little")
+                  + init_hash.to_bytes(32, "little"))[-20:], "big")
+
+
+def test_block_create_success():
+    """CREATE deploys self-replicating code, then the deployed contract is
+    CALLed (proving the bytecode actually landed in the world state)."""
+    bc = Bytecode()
+    size = _store_initcode(bc, self_replicating_initcode())
+    bc.push1(size).push1(0).push1(0).create().pop()
+    # deployer quirk: the gadget uses the frame's CallerAddress (the tx
+    # sender 0xFE) and the post-increment nonce (BeginTx bumped it to 1,
+    # CREATE bumps to 2)
+    addr = create_address(0xFE, 2)
+    bc.push1(0).push1(0).push1(0).push1(0).push1(0).push32(addr) \
+      .push2(0xFFFF).call().pop()
+    bc.stop()
+    w = _trace(bc)
+    states = {s.execution_state for s in w.steps}
+    assert ExecutionState.CREATE in states
+    assert ExecutionState.CODECOPY in states  # initcode + deployed runs
+    assert w.tx_success == [True]
+    verify_super_circuit(w)
+
+
+def test_block_create2_success():
+    bc = Bytecode()
+    ic = self_replicating_initcode()
+    size = _store_initcode(bc, ic)
+    salt = 0x5A17
+    bc.push2(salt).push1(size).push1(0).push1(0).create2().pop().stop()
+    w = _trace(bc)
+    assert ExecutionState.CREATE2 in {s.execution_state for s in w.steps}
+    verify_super_circuit(w)
+
+
+def test_block_create_reverting_initcode():
+    """The initcode SSTOREs then REVERTs: the storage write and the value
+    transfer are mirror-reverted; CREATE pushes 0."""
+    bc = Bytecode()
+    size = _store_initcode(bc, reverting_initcode())
+    bc.push1(size).push1(0).push1(0).create()
+    bc.push1(0).eq()  # pushed value must be 0
+    bc.pop().stop()
+    w = _trace(bc)
+    assert w.tx_success == [True]
+    sw = [r for r in w.rw.rws if r["key0"] == int(Target.AccountStorage)]
+    assert any(r["storage_key"] == 0x0F and r["rw"] == 1 and r["value"] == 0
+               for r in sw), "initcode storage write not mirror-reverted"
+    verify_super_circuit(w)
+
+
+def test_block_create_empty_initcode():
+    bc = Bytecode().push1(0).push1(0).push1(0).create().pop().stop()
+    w = _trace(bc)
+    verify_super_circuit(w)
+
+
+def test_block_create2_collision():
+    """Two identical CREATE2s: the second hits the address collision and
+    pushes 0."""
+    bc = Bytecode()
+    ic = self_replicating_initcode()
+    size = _store_initcode(bc, ic)
+    salt = 0x77
+    for _ in range(2):
+        bc.push1(salt).push1(size).push1(0).push1(0).create2().pop()
+    bc.stop()
+    w = _trace(bc)
+    verify_super_circuit(w)
+
+
+def test_block_create_insufficient_balance():
+    """CREATE with value > balance fails the precheck and pushes 0."""
+    bc = Bytecode()
+    size = _store_initcode(bc, self_replicating_initcode())
+    bc.push1(size).push1(0).push2(0x8000).create().pop().stop()
+    w = _trace(bc)
+    verify_super_circuit(w)
+
+
+def test_block_create_corrupt_deployed_hash_rejected():
+    bc = Bytecode()
+    size = _store_initcode(bc, self_replicating_initcode())
+    bc.push1(size).push1(0).push1(0).create().pop().stop()
+    w = _trace(bc)
+    from zkevm_specs_tpu.tables.schemas import AccountFieldTag
+
+    for r in w.rw.rws:
+        if (r["key0"] == int(Target.Account)
+                and r["field_tag"] == int(AccountFieldTag.CodeHash)
+                and r["rw"] == 1):
+            r["value"] += 1
+    with pytest.raises(AssertionError):
+        verify_super_circuit(w)
+
+
+def test_block_create_in_subcall():
+    """CREATE executed inside a CALL frame (deployer = the subcall frame's
+    caller, i.e. the root contract 0xFF)."""
+    factory = Bytecode()
+    size = _store_initcode(factory, self_replicating_initcode())
+    factory.push1(size).push1(0).push1(0).create().pop()
+    factory.push1(0).push1(0).return_()
+    root = Bytecode()
+    root.push1(0).push1(0).push1(0).push1(0).push1(0).push2(0x5000) \
+        .push2(0xFFFF).call().pop().stop()
+    accounts = {0x5000: Account(address=0x5000, code=factory)}
+    w = _trace(root, accounts)
+    assert ExecutionState.CREATE in {s.execution_state for s in w.steps}
+    verify_super_circuit(w)

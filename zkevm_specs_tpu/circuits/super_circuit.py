@@ -219,6 +219,9 @@ def verify_super_circuit(
         from .ecc import ecc_table_rows
 
         kwargs["ecc_table"] = ecc_table_rows(witness.ecc_circuit, keccak_randomness)
+    if getattr(witness, "sig_rows", None):
+        # sig rows emitted by traced ecRecover precompile calls
+        kwargs["sig_table"] = [r.table_row() for r in witness.sig_rows]
     kwargs["keccak_table"] = keccak_rows
     tables = Tables(**kwargs)
 
@@ -267,6 +270,19 @@ def verify_super_circuit(
 
         verify_ecc_circuit(witness.ecc_circuit, keccak_randomness)
 
+    # 7b. sig circuit proves the traced ecRecover rows
+    if getattr(witness, "sig_rows", None):
+        from ..ops.ecc import secp256k1
+        from .sig import KeccakTable as SigKeccakTable
+        from .sig import Witness as SigWitness
+        from .sig import verify_circuit as verify_sig_circuit
+
+        kt = SigKeccakTable()
+        for r in witness.sig_rows:
+            kt.add(secp256k1.pubkey_bytes(r.pub_key), keccak_randomness)
+        verify_sig_circuit(SigWitness(list(witness.sig_rows), kt),
+                           keccak_randomness)
+
     # 8. pi + withdrawal circuits commit the public data (the reference pi
     # layout requires every withdrawal slot filled — pi_circuit.py:318-321 —
     # so these run when the block carries withdrawals)
@@ -300,13 +316,16 @@ def verify_prologue(witness: BlockWitness) -> None:
     rws = sorted(witness.rw.rws, key=lambda r: r["rw_counter"])
     rws = [r for r in rws if r["key0"] != int(Target.Start)]
     expected_tags = (
-        CC.TxId, CC.IsPersistent, CC.IsSuccess, CC.Depth, CC.CallerAddress,
-        CC.CalleeAddress, CC.CallDataLength, CC.Value, CC.IsRoot, CC.CodeHash,
+        CC.TxId, CC.RwCounterEndOfReversion, CC.IsPersistent, CC.IsSuccess,
+        CC.Depth, CC.CallerAddress, CC.CalleeAddress, CC.CallDataLength,
+        CC.Value, CC.IsRoot, CC.CodeHash,
     )
     for i, tx in enumerate(witness.txs):
         code_hash = witness.tx_code_hashes[i]
+        success = int(witness.tx_success[i])
         expected_values = (
-            tx.id, 1, 1, 1, tx.caller_address, tx.callee_address,
+            tx.id, witness.tx_rwceor[i], success, success, 1,
+            tx.caller_address, tx.callee_address,
             len(tx.call_data), tx.value, 1, code_hash,
         )
         for k, (tag, value) in enumerate(zip(expected_tags, expected_values)):
@@ -336,3 +355,15 @@ def verify_prologue(witness: BlockWitness) -> None:
             assert row["value"] == value, (
                 f"subcall prologue: value mismatch for {tag!r}")
             idx += 1
+
+    # precompile-output preload region: one memory write per output byte so
+    # the callop output/return copies' reads are not first accesses
+    for callee_id, addr, byte in getattr(witness, "memory_setups", []):
+        row = rws[idx]
+        assert row["rw_counter"] == 1 + idx, "memory prologue: bad rw_counter"
+        assert (row["key0"], row["rw"]) == (int(Target.Memory), 1), (
+            "memory prologue: not a memory write")
+        assert row["id"] == callee_id and row["address"] == addr, (
+            "memory prologue: wrong key")
+        assert row["value"] == byte, "memory prologue: value mismatch"
+        idx += 1

@@ -39,6 +39,11 @@ def balance(instruction: Instruction):
         rw_counter=Transition.delta(7 + exists_delta),
         program_counter=Transition.delta(1),
         stack_pointer=Transition.same(),
+        # the access-list write is reversible and must advance the
+        # counter (deviation: the reference leaves it Same here but counts
+        # the identical write in extcodesize.py:40/storage.py:45, which
+        # would make mirror offsets collide in an integrated witness)
+        reversible_write_counter=Transition.delta(1),
         dynamic_gas_cost=instruction.select(
             is_warm, instruction.fq(0), instruction.fq(EXTRA_GAS_COST_ACCOUNT_COLD_ACCESS)
         ),

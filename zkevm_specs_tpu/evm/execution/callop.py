@@ -275,7 +275,12 @@ def callop(instruction: Instruction):
                 instruction.select_word(is_delegatecall, parent_call_value, call.value),
             ),
             (CallContextFieldTag.IsSuccess, call.is_success),
-            (CallContextFieldTag.IsStatic, is_static),
+            # the callee is static if the caller is OR this is a STATICCALL
+            # (EVM semantics; deviation — the reference pins the callee to
+            # the caller's flag alone, callop.py:278, which makes
+            # ErrorWriteProtection unreachable in an integrated witness)
+            (CallContextFieldTag.IsStatic,
+             is_static + is_staticcall - is_static * is_staticcall),
             (CallContextFieldTag.LastCalleeId, instruction.fq(0)),
             (CallContextFieldTag.LastCalleeReturnDataOffset, instruction.fq(0)),
             (CallContextFieldTag.LastCalleeReturnDataLength, instruction.fq(0)),

@@ -160,6 +160,11 @@ def extcodecopy(instruction: Instruction):
         program_counter=Transition.delta(1),
         stack_pointer=Transition.delta(4),
         memory_word_size=Transition.to(next_memory_size),
+        # the access-list write is reversible and must advance the
+        # counter (deviation: the reference leaves it Same here but counts
+        # the identical write in extcodesize.py:40/storage.py:45, which
+        # would make mirror offsets collide in an integrated witness)
+        reversible_write_counter=Transition.delta(1),
         dynamic_gas_cost=gas_cost,
     )
 

@@ -30,7 +30,12 @@ def return_revert(instruction: Instruction):
     # deployment rows for REVERT too).  Mirrored.
     is_create = instruction.branch(instruction.curr.is_create)
     if is_create:
-        # A. deploy the returned memory chunk as contract code
+        # A. deploy the returned memory chunk as contract code.
+        # The CalleeAddress lookup and the CodeHash account write are two rw
+        # rows the reference forgets to count (return_revert.py:33-41 leaves
+        # rwc_delta at 3); counted here so the next step's rw_counter does
+        # not overlap the last two rows of a deploying halt.
+        rwc_delta = rwc_delta + 2
         callee_address_word = instruction.call_context_lookup_word(CallContextFieldTag.CalleeAddress)
         callee_address = instruction.word_to_address(callee_address_word)
         code_hash, code_hash_prev = instruction.account_write_word(

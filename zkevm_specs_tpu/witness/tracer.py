@@ -131,8 +131,12 @@ _STATE_BY_OPCODE = {
     Opcode.LOG3: ExecutionState.LOG,
     Opcode.LOG4: ExecutionState.LOG,
     Opcode.RETURN: ExecutionState.RETURN,
-    Opcode.REVERT: ExecutionState.REVERT,
+    # REVERT shares the RETURN state/gadget (the reference registers only
+    # ExecutionState.RETURN, execution/__init__.py:92)
+    Opcode.REVERT: ExecutionState.RETURN,
     Opcode.RETURNDATACOPY: ExecutionState.RETURNDATACOPY,
+    Opcode.CREATE: ExecutionState.CREATE,
+    Opcode.CREATE2: ExecutionState.CREATE2,
     Opcode.CALL: ExecutionState.CALL_OP,
     Opcode.CALLCODE: ExecutionState.CALL_OP,
     Opcode.DELEGATECALL: ExecutionState.CALL_OP,
@@ -156,9 +160,13 @@ class BlockWitness:
         self.exp_circuit = None            # ExpCircuit accumulator
         self.ecc_circuit = None            # EccCircuit ops
         self.signed_txs = None             # signed tx list (tx + sig circuits)
+        self.sig_rows: List = []           # sig-table rows (ecRecover calls)
         self.sha3_preimages: List[bytes] = []  # extra keccak-circuit preimages
         self.tx_code_hashes: List[int] = []    # per-tx root code hash
         self.subcall_setups: List[List[Tuple[int, object, int]]] = []
+        self.memory_setups: List[Tuple[int, int, int]] = []  # (call_id, addr, byte)
+        self.tx_success: List[bool] = []   # per-tx root-frame outcome
+        self.tx_rwceor: List[int] = []     # per-tx root RwCounterEndOfReversion
         self.chain_id = 0x01
 
     def tables_kwargs(self) -> dict:
@@ -176,7 +184,21 @@ class BlockWitness:
         )
 
 
-_N_SETUP_ROWS = 10
+_N_SETUP_ROWS = 11  # incl. RwCounterEndOfReversion (non-zero for reverted txs)
+
+
+def _resolve_anchor(a: dict) -> int:
+    """RwCounterEndOfReversion of a frame (reference reversion chaining,
+    tests/evm/test_callop.py:202-208): a frame that fails owns its mirror
+    section; one reverted by an ancestor sits inside the ancestor's section
+    at parent - (caller_rev_at_call + 1); a persistent frame has none."""
+    if a["failed"]:
+        assert a["own"] is not None, "reversion anchor unresolved"
+        return a["own"]
+    if a["persistent"] or a["parent"] is None:
+        return 0
+    p = _resolve_anchor(a["parent"])
+    return 0 if p == 0 else p - a["poffset"]
 
 
 def _signed(v: int) -> int:
@@ -191,7 +213,8 @@ class _Tracer:
     """Single-block interpreter emitting gadget-exact witness rows."""
 
     def __init__(self, block: Block, caller_balance: int, start_counter: int,
-                 accounts: Optional[Dict[int, Account]] = None):
+                 accounts: Optional[Dict[int, Account]] = None,
+                 outcomes: Optional[List[bool]] = None):
         self.w = BlockWitness()
         self.w.block = block
         self.w.rw = RWDictionary(start_counter)
@@ -200,9 +223,24 @@ class _Tracer:
         self.rw = self.w.rw
         self.block = block
         self.copy_r = 0x64  # randomness for copy RLC events (shared default)
+        # randomness shared with the super circuit's keccak/sig/ecc tables
+        # (config.py CircuitConfig.keccak_randomness)
+        from ..config import DEFAULT_CONFIG
+        self.keccak_r = DEFAULT_CONFIG.keccak_randomness
         self.cumulative_gas = 0
         self.call_ids: List[int] = []
         self._code_hashes: Dict[int, Bytecode] = {}
+
+        # frame-outcome oracle: pass 1 (outcomes=None) executes the block to
+        # discover which frames halt in failure; pass 2 replays with the
+        # oracle so persistence-dependent witness values (IsPersistent,
+        # IsSuccess, TxLog gating) are right at emission time
+        self.outcomes = outcomes
+        self.discovered: List[bool] = []
+        self.fseq = 0
+        # deferred RwCounterEndOfReversion reads: (row_dict, anchor)
+        self.fixups: List[Tuple[dict, dict]] = []
+        self.root_anchors: List[dict] = []
 
         # world state
         self.balances: Dict[int, int] = {}
@@ -237,6 +275,67 @@ class _Tracer:
             return EMPTY_CODE_HASH
         return 0
 
+    # -- frame outcome / reversion machinery --------------------------------
+
+    def _frame_outcome(self) -> Tuple[int, bool]:
+        idx = self.fseq
+        self.fseq += 1
+        if self.outcomes is None:
+            self.discovered.append(True)  # optimistic; patched at a failing halt
+            return idx, True
+        return idx, self.outcomes[idx]
+
+    def _mark_failed(self):
+        if self.outcomes is None:
+            self.discovered[self.frame_idx] = False
+
+    def _mirror_last(self, pending: Optional[List[dict]] = None):
+        """Record the reversion mirror of the rw row just emitted (value and
+        value_prev swapped, reference typing.py _state_write); materialized
+        at the owning frame's failing halt, or dropped if it never fails."""
+        base = self.rw.rws[-1]
+        m = dict(base)
+        m["value"], m["value_prev"] = base["value_prev"], base["value"]
+        (self.pending if pending is None else pending).append(m)
+
+    def _materialize_reversion(self):
+        """Place this frame's mirror section in the rw counters the halting
+        gadget skipped: write with offset c lands at RwCounterEndOfReversion
+        - c (LIFO), reference instruction.py:111-112."""
+        R = len(self.pending)
+        end = self.rw.rw_counter
+        rwceor = end + R - 1
+        for c, row in enumerate(self.pending):
+            row["rw_counter"] = rwceor - c
+            self.rw.rws.append(row)
+        self.rw.rw_counter = end + R
+        self.anchor["own"] = rwceor
+        self.anchor["failed"] = True
+        self.pending = []
+        return rwceor
+
+    def _snapshot(self) -> dict:
+        return dict(
+            balances=dict(self.balances), nonces=dict(self.nonces),
+            codes=dict(self.codes), storage=dict(self.storage),
+            warm_addr=set(self.warm_addr), warm_slot=set(self.warm_slot),
+            refund=self.refund, log_count=self.log_count,
+        )
+
+    def _rollback(self, s: dict):
+        self.balances = dict(s["balances"])
+        self.nonces = dict(s["nonces"])
+        self.codes = dict(s["codes"])
+        self.storage = dict(s["storage"])
+        self.warm_addr = set(s["warm_addr"])
+        self.warm_slot = set(s["warm_slot"])
+        self.refund = s["refund"]
+        self.log_count = s["log_count"]
+
+    def _fix_rwceor(self, anchor: dict):
+        """Defer the value of the RwCounterEndOfReversion row just emitted."""
+        self.fixups.append((self.rw.rws[-1], anchor))
+
     # -- per-tx execution ---------------------------------------------------
 
     def run_tx(self, tx: Transaction, bytecode: Bytecode) -> int:
@@ -255,7 +354,8 @@ class _Tracer:
         self.call_id = call_id
         self.code_hash = code_hash
         self.code = bytecode
-        self.warm_addr = set()
+        # precompile addresses are always warm (EIP-2929)
+        self.warm_addr = set(range(1, 10))
         self.warm_slot = set()
         self.committed: Dict[Tuple[int, int], int] = {}
         self.refund = 0
@@ -282,12 +382,25 @@ class _Tracer:
         self.frames: List[dict] = []
         self.memories: Dict[int, Dict[int, int]] = {}  # finished frames' memory
 
+        # root-frame reversion machinery
+        idx, success = self._frame_outcome()
+        self.frame_idx = idx
+        self.persistent = success  # root frame: persistent == own success
+        self.pending: List[dict] = []
+        self.anchor = {"own": None, "parent": None, "poffset": 0,
+                       "persistent": success, "failed": not success}
+        self.is_create_frame = False
+        self.snapshot: dict = {}
+        self.root_anchors.append(self.anchor)
+        self.w.tx_success.append(success)
+
         # --- BeginTx (gadget rw order, begin_tx.py) ---
         begin_rwc = rw.rw_counter
         rw.call_context_read(call_id, CallContextFieldTag.TxId, tx_id)
         rw.call_context_read(call_id, CallContextFieldTag.RwCounterEndOfReversion, 0)
-        rw.call_context_read(call_id, CallContextFieldTag.IsPersistent, 1)
-        rw.call_context_read(call_id, CallContextFieldTag.IsSuccess, 1)
+        self._fix_rwceor(self.anchor)
+        rw.call_context_read(call_id, CallContextFieldTag.IsPersistent, int(success))
+        rw.call_context_read(call_id, CallContextFieldTag.IsSuccess, int(success))
         # the gadget constrains the nonce write against the tx table's
         # declared nonce (begin_tx.py), so the declared value is authoritative
         rw.account_write(tx.caller_address, AccountFieldTag.Nonce,
@@ -296,15 +409,20 @@ class _Tracer:
         for addr in (block.coinbase, tx.caller_address, tx.callee_address):
             rw.tx_access_list_account_write(tx_id, addr, True, addr in self.warm_addr)
             self.warm_addr.add(addr)
+        # the transfer pair is reversible, bound to the root frame
+        # (begin_tx passes reversion_info to transfer_with_gas_fee)
+        self.snapshot = self._snapshot()
         gas_fee = tx.gas * tx.gas_price
         caller_bal_prev = self.balances.get(tx.caller_address, 0)
         caller_bal = caller_bal_prev - tx.value - gas_fee
         rw.account_write(tx.caller_address, AccountFieldTag.Balance,
                          caller_bal, caller_bal_prev)
+        self._mirror_last()
         self.balances[tx.caller_address] = caller_bal
         callee_bal_prev = self.balances.get(tx.callee_address, 0)
         rw.account_write(tx.callee_address, AccountFieldTag.Balance,
                          callee_bal_prev + tx.value, callee_bal_prev)
+        self._mirror_last()
         self.balances[tx.callee_address] = callee_bal_prev + tx.value
         rw.account_read(tx.callee_address, AccountFieldTag.CodeHash, code_hash)
         for tag, value in (
@@ -336,8 +454,9 @@ class _Tracer:
         end_rwc = rw.rw_counter
         gas_used = tx.gas - self.gas_left
         effective_refund = min(self.refund, gas_used // MAX_REFUND_QUOTIENT_OF_GAS_USED)
+        success = self.w.tx_success[-1]
         rw.call_context_read(call_id, CallContextFieldTag.TxId, tx_id)
-        rw.call_context_read(call_id, CallContextFieldTag.IsPersistent, 1)
+        rw.call_context_read(call_id, CallContextFieldTag.IsPersistent, int(success))
         rw.tx_refund_read(tx_id, self.refund)
         refund_value = (self.gas_left + effective_refund) * tx.gas_price
         bal_prev = self.balances.get(tx.caller_address, 0)
@@ -350,7 +469,7 @@ class _Tracer:
         rw.account_write(block.coinbase, AccountFieldTag.Balance,
                          cb_prev + reward, cb_prev)
         self.balances[block.coinbase] = cb_prev + reward
-        rw.tx_receipt_write(tx_id, TxReceiptFieldTag.PostStateOrStatus, 1)
+        rw.tx_receipt_write(tx_id, TxReceiptFieldTag.PostStateOrStatus, int(success))
         rw.tx_receipt_write(tx_id, TxReceiptFieldTag.LogLength, self.log_count)
         if tx_id > 1:
             rw.tx_receipt_read(tx_id - 1, TxReceiptFieldTag.CumulativeGasUsed,
@@ -371,22 +490,184 @@ class _Tracer:
 
     # -- opcode dispatch ----------------------------------------------------
 
-    def step_op(self):
-        op = Opcode(self.code.code[self.pc] if self.pc < len(self.code.code)
-                    else Opcode.STOP)
-        state = (
-            ExecutionState.PUSH if is_push_with_data(op) or op == Opcode.PUSH0
-            else _STATE_BY_OPCODE[op]
+    def _expansion_gas(self, offset: int, length: int) -> int:
+        """Memory-expansion gas without mutating the model."""
+        if length == 0:
+            return 0
+        size = (offset + length + 31) // 32
+        new = max(self.mws, size)
+        return 3 * (new - self.mws) + new * new // 512 - self.mws * self.mws // 512
+
+    _WRITE_PROTECTED = frozenset(
+        [Opcode.SSTORE, Opcode.CREATE, Opcode.CREATE2, Opcode.SELFDESTRUCT,
+         Opcode.LOG0, Opcode.LOG1, Opcode.LOG2, Opcode.LOG3, Opcode.LOG4])
+
+    def _detect_error(self, raw: int) -> Optional[ExecutionState]:
+        """Pre-dispatch error classification (geth order: invalid opcode,
+        stack validation, write protection, constant gas, then the
+        per-opcode dynamic-gas / runtime checks)."""
+        from ..evm.opcode import max_stack_pointer, min_stack_pointer
+        from ..utils.param import (
+            GAS_COST_ACCOUNT_COLD_ACCESS,
+            GAS_COST_COPY,
+            GAS_COST_COPY_SHA3,
+            GAS_COST_EXP_PER_BYTE,
+            GAS_COST_FASTEST,
+            GAS_COST_SHA3,
+            GAS_COST_SLOW,
+            GAS_COST_SSTORE_SENTRY_EIP2200,
+            GAS_COST_WARM_ACCESS,
+            SLOAD_GAS,
+            SSTORE_RESET_GAS,
+            SSTORE_SET_GAS,
         )
+
+        E = ExecutionState
+        try:
+            op = Opcode(raw)
+        except ValueError:
+            return E.ErrorInvalidOpcode
+        sp = 1024 - len(self.stack)
+        if sp < min_stack_pointer(op) or sp > max_stack_pointer(op):
+            return E.ErrorStack
+        if self.is_static and (
+                op in self._WRITE_PROTECTED
+                or (op == Opcode.CALL and self.stack[-3] != 0)):
+            return E.ErrorWriteProtection
+        gas = self.gas_left
+        if gas < constant_gas_cost(op):
+            return E.ErrorOutOfGasConstant
+        st = self.stack  # top is st[-1]
+        if op in (Opcode.JUMP, Opcode.JUMPI):
+            jumps = op == Opcode.JUMP or st[-2] != 0
+            if jumps and not self._valid_jumpdest(st[-1]):
+                return E.ErrorInvalidJump
+        elif op in (Opcode.BALANCE, Opcode.EXTCODESIZE, Opcode.EXTCODEHASH):
+            warm = st[-1] in self.warm_addr
+            need = GAS_COST_WARM_ACCESS if warm else GAS_COST_ACCOUNT_COLD_ACCESS
+            if gas < need:
+                return E.ErrorOutOfGasAccountAccess
+        elif op in (Opcode.MLOAD, Opcode.MSTORE, Opcode.MSTORE8):
+            size = 1 if op == Opcode.MSTORE8 else 32
+            if gas < GAS_COST_FASTEST + self._expansion_gas(st[-1], size):
+                return E.ErrorOutOfGasStaticMemoryExpansion
+        elif op in (Opcode.RETURN, Opcode.REVERT):
+            if gas < self._expansion_gas(st[-1] if st[-2] else 0, st[-2]):
+                return E.ErrorOutOfGasDynamicMemoryExpansion
+        elif op in (Opcode.CALLDATACOPY, Opcode.CODECOPY, Opcode.EXTCODECOPY,
+                    Opcode.RETURNDATACOPY):
+            base = -2 if op == Opcode.EXTCODECOPY else -1
+            mem_off, length = st[base], st[base - 2]
+            if op == Opcode.EXTCODECOPY:
+                warm = st[-1] in self.warm_addr
+                const = GAS_COST_WARM_ACCESS if warm else GAS_COST_ACCOUNT_COLD_ACCESS
+            else:
+                const = GAS_COST_FASTEST
+            dyn = (GAS_COST_COPY * ((length + 31) // 32)
+                   + self._expansion_gas(mem_off if length else 0, length))
+            if gas < const + dyn:
+                return E.ErrorOutOfGasMemoryCopy
+            if op == Opcode.RETURNDATACOPY:
+                data_off, length = st[-2], st[-3]
+                if data_off + length > self.last_callee[2]:
+                    return E.ErrorReturnDataOutOfBound
+        elif op in (Opcode.SLOAD, Opcode.SSTORE):
+            if op == Opcode.SSTORE and gas <= GAS_COST_SSTORE_SENTRY_EIP2200:
+                return E.ErrorOutOfGasSloadSstore
+            skey = (self.callee_address, st[-1])
+            warm = skey in self.warm_slot
+            if op == Opcode.SLOAD:
+                need = WARM_STORAGE_READ_COST if warm else COLD_SLOAD_COST
+            else:
+                value, value_prev = st[-2], self.storage.get(skey, 0)
+                original = self.committed.get(skey, value_prev)
+                if value == value_prev or value_prev != original:
+                    slot = SLOAD_GAS
+                elif original == 0:
+                    slot = SSTORE_SET_GAS
+                else:
+                    slot = SSTORE_RESET_GAS
+                need = slot if warm else slot + COLD_SLOAD_COST
+            if gas < need:
+                return E.ErrorOutOfGasSloadSstore
+        elif op in (Opcode.LOG0, Opcode.LOG1, Opcode.LOG2, Opcode.LOG3,
+                    Opcode.LOG4):
+            n = int(op) - int(Opcode.LOG0)
+            mstart, msize = st[-1], st[-2]
+            need = (GAS_COST_LOG * (1 + n) + GAS_COST_LOGDATA * msize
+                    + self._expansion_gas(mstart, msize))
+            if gas < need:
+                return E.ErrorOutOfGasLOG
+        elif op == Opcode.EXP:
+            if gas < GAS_COST_SLOW + GAS_COST_EXP_PER_BYTE * _byte_size(st[-2]):
+                return E.ErrorOutOfGasEXP
+        elif op == Opcode.SHA3:
+            off, size = st[-1], st[-2]
+            need = (GAS_COST_SHA3 + GAS_COST_COPY_SHA3 * ((size + 31) // 32)
+                    + self._expansion_gas(off if size else 0, size))
+            if gas < need:
+                return E.ErrorOutOfGasSHA3
+        elif op in (Opcode.CALL, Opcode.CALLCODE, Opcode.DELEGATECALL,
+                    Opcode.STATICCALL):
+            has_val = op in (Opcode.CALL, Opcode.CALLCODE)
+            target = st[-2]
+            value = st[-3] if has_val else 0
+            cdo, cdl = (st[-4], st[-5]) if has_val else (st[-3], st[-4])
+            rdo, rdl = (st[-6], st[-7]) if has_val else (st[-5], st[-6])
+            from ..utils.param import (
+                GAS_COST_CALL_WITH_VALUE,
+                GAS_COST_NEW_ACCOUNT,
+            )
+
+            warm = target in self.warm_addr
+            mem = 0
+            sizes = [self.mws]
+            if cdl:
+                sizes.append((cdo + cdl + 31) // 32)
+            if rdl:
+                sizes.append((rdo + rdl + 31) // 32)
+            nm = max(sizes)
+            mem = 3 * (nm - self.mws) + nm * nm // 512 - self.mws * self.mws // 512
+            callee_missing = self._account_code_hash(target) == 0
+            need = ((GAS_COST_WARM_ACCESS if warm else GAS_COST_ACCOUNT_COLD_ACCESS)
+                    + (GAS_COST_CALL_WITH_VALUE
+                       + (GAS_COST_NEW_ACCOUNT if op == Opcode.CALL and callee_missing else 0)
+                       if value != 0 else 0)
+                    + mem)
+            if gas < need:
+                return E.ErrorOutOfGasCall
+        return None
+
+    def _valid_jumpdest(self, dest: int) -> bool:
+        code = self.code.code
+        return (dest < len(code) and code[dest] == int(Opcode.JUMPDEST)
+                and self.code.is_code[dest])
+
+    def step_op(self):
+        raw = (self.code.code[self.pc] if self.pc < len(self.code.code)
+               else int(Opcode.STOP))
+        err = self._detect_error(raw)
+        if err is not None:
+            state = err
+        else:
+            op = Opcode(raw)
+            state = (
+                ExecutionState.PUSH if is_push_with_data(op) or op == Opcode.PUSH0
+                else _STATE_BY_OPCODE[op]
+            )
         sp = 1024 - len(self.stack)
         self.w.steps.append(
             StepState(state, self.rw.rw_counter, call_id=self.call_id,
-                      is_root=self.is_root, code_hash=self.code_hash,
+                      is_root=self.is_root, is_create=self.is_create_frame,
+                      code_hash=self.code_hash,
                       program_counter=self.pc, stack_pointer=sp,
                       gas_left=self.gas_left, memory_word_size=self.mws,
                       reversible_write_counter=self.rev,
                       log_id=self.log_count)
         )
+        if err is not None:
+            self._halt_error(err, raw)
+            return
         self.gas_left -= constant_gas_cost(op)
         handler = _HANDLERS.get(op)
         if handler is None:
@@ -406,6 +687,103 @@ class _Tracer:
                 raise NotImplementedError(f"tracer: no handler for {op!r}")
         handler(self, op)
 
+    def _halt_error(self, state: ExecutionState, raw: int):
+        """Emit an error-halt's rows and unwind the frame: gadget-specific
+        rows (per evm/execution/errors.py), IsSuccess == 0
+        (constrain_error_state), caller-context restore for subcalls, then
+        the mirror section the error delta skips (errors.py _finish)."""
+        self._mark_failed()
+        rw = self.rw
+        E = ExecutionState
+        sp = 1024 - len(self.stack)
+        st = self.stack
+
+        def sread(offset):  # stack_lookup(RW.Read, offset) — no pop
+            rw.stack_read(self.call_id, sp + offset, st[-1 - offset])
+
+        if state == E.ErrorInvalidJump:
+            dest = self.spop()
+            if Opcode(raw) == Opcode.JUMPI:
+                self.spop()
+        elif state == E.ErrorWriteProtection:
+            self.cc_read(CallContextFieldTag.IsStatic, 1)
+            if Opcode(raw) == Opcode.CALL:
+                sread(2)
+        elif state == E.ErrorOutOfGasAccountAccess:
+            addr = self.spop()
+            self.cc_read(CallContextFieldTag.TxId, self.tx_id)
+            rw.tx_access_list_account_read(self.tx_id, addr,
+                                           addr in self.warm_addr)
+        elif state == E.ErrorOutOfGasStaticMemoryExpansion:
+            self.spop()
+        elif state in (E.ErrorOutOfGasDynamicMemoryExpansion, E.ErrorOutOfGasSHA3):
+            self.spop()
+            self.spop()
+        elif state == E.ErrorOutOfGasMemoryCopy:
+            off = 0
+            if Opcode(raw) == Opcode.EXTCODECOPY:
+                sread(0)
+                off = 1
+            sread(off)
+            sread(off + 2)
+            if Opcode(raw) == Opcode.EXTCODECOPY:
+                self.cc_read(CallContextFieldTag.TxId, self.tx_id)
+                rw.tx_access_list_account_read(self.tx_id, st[-1],
+                                               st[-1] in self.warm_addr)
+        elif state == E.ErrorReturnDataOutOfBound:
+            sread(1)
+            sread(2)
+            self.cc_read(CallContextFieldTag.LastCalleeReturnDataLength,
+                         self.last_callee[2])
+        elif state == E.ErrorOutOfGasSloadSstore:
+            key = self.spop()
+            self.cc_read(CallContextFieldTag.TxId, self.tx_id)
+            self.cc_read(CallContextFieldTag.CalleeAddress, self.callee_address)
+            skey = (self.callee_address, key)
+            rw.tx_access_list_account_storage_read(
+                self.tx_id, self.callee_address, key, skey in self.warm_slot)
+            if Opcode(raw) == Opcode.SSTORE:
+                self.spop()
+                value_prev = self.storage.get(skey, 0)
+                committed = self.committed.get(skey, value_prev)
+                rw.account_storage_read(self.callee_address, key, value_prev,
+                                        self.tx_id, committed)
+                # the gadget's original-value hint rides the step aux
+                self.w.steps[-1].aux_data = committed
+        elif state == E.ErrorOutOfGasLOG:
+            self.spop()
+            self.spop()
+        elif state == E.ErrorOutOfGasEXP:
+            sread(1)
+        elif state == E.ErrorOutOfGasCall:
+            op = Opcode(raw)
+            self.cc_read(CallContextFieldTag.TxId, self.tx_id)
+            has_val = op in (Opcode.CALL, Opcode.CALLCODE)
+            self.spop()            # gas
+            target = self.spop()   # address
+            if has_val:
+                self.spop()        # value
+            for _ in range(4):     # cd_offset, cd_length, rd_offset, rd_length
+                self.spop()
+            self.spush(0)          # is_success == 0 (CallGadget pins it)
+            rw.account_read(target, AccountFieldTag.CodeHash,
+                            self._account_code_hash(target))
+            rw.tx_access_list_account_read(self.tx_id, target,
+                                           target in self.warm_addr)
+        rw.call_context_read(self.call_id, CallContextFieldTag.IsSuccess, 0)
+        self.gas_left = 0  # exception consumes all remaining gas
+        if self.is_root:
+            self._materialize_reversion()
+            self._rollback(self.snapshot)
+            self.stopped = True
+            return
+        saved = self.frames[-1]
+        last_callee = (self.call_id, 0, 0)
+        self._restore_context_rows(saved, last_callee)
+        self._materialize_reversion()
+        self._rollback(self.snapshot)
+        self._pop_frame(last_callee, success=False)
+
     # stack rw helpers (emit the row AND mutate the model stack)
     def spush(self, v: int):
         self.stack.append(v)
@@ -422,7 +800,8 @@ class _Tracer:
 
     def reversion_reads(self):
         self.cc_read(CallContextFieldTag.RwCounterEndOfReversion, 0)
-        self.cc_read(CallContextFieldTag.IsPersistent, 1)
+        self._fix_rwceor(self.anchor)
+        self.cc_read(CallContextFieldTag.IsPersistent, int(self.persistent))
 
     def _expand_dyn(self, offset: int, length: int) -> int:
         """Dynamic-length memory expansion; deducts gas, returns new size."""
@@ -448,6 +827,8 @@ class _Tracer:
         "gas_left", "rev", "is_root", "callee_address", "caller_address",
         "value", "is_static", "depth", "calldata", "cd_offset_abs",
         "caller_frame_id", "rd_offset_abs", "rd_length", "last_callee",
+        "frame_idx", "persistent", "pending", "anchor", "snapshot",
+        "is_create_frame",
     )
 
     def _push_frame(self) -> dict:
@@ -455,25 +836,37 @@ class _Tracer:
         self.frames.append(saved)
         return saved
 
-    def _pop_frame(self, last_callee):
+    def _pop_frame(self, last_callee, success: bool = True):
         self.memories[self.call_id] = self.memory
         callee_gas = self.gas_left
         callee_rev = self.rev
+        callee_pending = self.pending
         saved = self.frames.pop()
         for f in self._FRAME_FIELDS:
             setattr(self, f, saved[f])
         self.pc = saved["resume_pc"]
         self.gas_left = saved["resume_gas"] + callee_gas
         self.mws = saved["resume_mws"]
-        self.rev = saved["resume_rev"] + callee_rev  # halt in success
+        if success:
+            # halt in success: the callee's reversible writes accumulate to
+            # the caller (restored-context accumulation) and its pending
+            # mirrors splice into the caller's section at the offsets the
+            # reversion chaining reserved (poffset onward)
+            self.rev = saved["resume_rev"] + callee_rev
+            self.pending = self.pending + callee_pending
+        else:
+            self.rev = saved["resume_rev"]
         self.last_callee = last_callee
 
-    def _restore_context_rows(self, saved: dict, last_callee):
+    def _restore_context_rows(self, saved: dict, last_callee,
+                              read_caller_id: bool = True):
         """The 12 restore rows of step_state_transition_to_restored_context
-        (evm/instruction.py:481-538)."""
+        (evm/instruction.py:481-538); gadgets that pass caller_id explicitly
+        (dataCopy) skip the CallerId read."""
         caller_id = saved["call_id"]
-        self.rw.call_context_read(self.call_id, CallContextFieldTag.CallerId,
-                                  caller_id)
+        if read_caller_id:
+            self.rw.call_context_read(self.call_id, CallContextFieldTag.CallerId,
+                                      caller_id)
         for tag, value in (
             (CallContextFieldTag.IsRoot, int(saved["is_root"])),
             (CallContextFieldTag.IsCreate, 0),
@@ -493,8 +886,10 @@ class _Tracer:
             self.rw.call_context_write(caller_id, tag, value)
 
     def op_callop(self, op):
-        """CALL/CALLCODE/DELEGATECALL/STATICCALL, success path
-        (evm/execution/callop.py; row order per tests/evm/test_callop_return.py)."""
+        """CALL/CALLCODE/DELEGATECALL/STATICCALL — success, failing-callee,
+        precheck-fail and precompile paths
+        (evm/execution/callop.py; row order per tests/evm/test_callop_return.py
+        and reference tests/evm/test_callop.py:116-345)."""
         from ..ops.keccak import EMPTY_CODE_HASH
         from ..utils.param import (
             GAS_COST_ACCOUNT_COLD_ACCESS,
@@ -532,7 +927,22 @@ class _Tracer:
         rd_length = self.spop()
         cd_offset = cd_offset_w if cd_length else 0
         rd_offset = rd_offset_w if rd_length else 0
-        self.spush(1)  # is_success (success path only)
+
+        # precheck (callop.py:77-89) and outcome resolution
+        is_precompile = 1 <= target <= 9
+        callee_code = self.codes.get(target)
+        code_hash = self._account_code_hash(target)
+        callee_not_exists = int(code_hash == 0)
+        no_code = code_hash in (0, int(EMPTY_CODE_HASH)) or callee_code is None
+        balance_ok = (not (is_call or is_callcode)
+                      or self.balances.get(self.callee_address, 0) >= value)
+        precheck_ok = self.depth < 1025 and balance_ok
+        enters_callee = precheck_ok and not no_code and not is_precompile
+        if enters_callee:
+            cidx, csucc = self._frame_outcome()
+        else:
+            cidx, csucc = None, bool(precheck_ok)  # no-code/precompile calls succeed
+        self.spush(int(csucc))
 
         # memory expansion across the cd and rd regions (CallGadget)
         sizes = [self.mws]
@@ -544,22 +954,33 @@ class _Tracer:
         mem_gas = (3 * (next_mws - self.mws)
                    + next_mws * next_mws // 512 - self.mws * self.mws // 512)
 
-        code_hash = self._account_code_hash(target)
         rw.account_read(target, AccountFieldTag.CodeHash, code_hash)
         warm = target in self.warm_addr
         rw.tx_access_list_account_write(self.tx_id, target, True, warm)
+        al_row = rw.rws[-1]
+        self._mirror_last()
+        self.rev += 1
         self.warm_addr.add(target)
+
+        callee_persistent = self.persistent and csucc
+        callee_anchor = {"own": None, "parent": self.anchor,
+                         "poffset": self.rev, "persistent": callee_persistent,
+                         "failed": enters_callee and not csucc}
         rw.call_context_read(callee_call_id,
                              CallContextFieldTag.RwCounterEndOfReversion, 0)
-        rw.call_context_read(callee_call_id, CallContextFieldTag.IsPersistent, 1)
+        self._fix_rwceor(callee_anchor)
+        rw.call_context_read(callee_call_id, CallContextFieldTag.IsPersistent,
+                             int(callee_persistent))
         # the state circuit needs the first access of every callee context
         # key to be a write; record the setup for the block prologue
-        setup = [(callee_call_id, CallContextFieldTag.RwCounterEndOfReversion, 0),
-                 (callee_call_id, CallContextFieldTag.IsPersistent, 1)]
+        # (RwCounterEndOfReversion resolves after the trace)
+        setup = [(callee_call_id, CallContextFieldTag.RwCounterEndOfReversion,
+                  callee_anchor),
+                 (callee_call_id, CallContextFieldTag.IsPersistent,
+                  int(callee_persistent))]
         self.w.subcall_setups.append(setup)
 
         has_value = int(value != 0) if not (is_delegatecall or is_staticcall) else 0
-        callee_not_exists = int(code_hash == 0)
         # context address resolution (callop.py:48-55)
         ctx_callee = (self.callee_address if (is_callcode or is_delegatecall)
                       else target)
@@ -571,17 +992,30 @@ class _Tracer:
             rw.account_read(ctx_caller if is_callcode else self.callee_address,
                             AccountFieldTag.Balance,
                             self.balances.get(self.callee_address, 0))
-        if is_call:
+        snapshot = self._snapshot()  # callee rolls back to pre-transfer state
+        callee_pending: List[dict] = []
+        if is_call and precheck_ok:
             # transfer value (reversible, bound to the callee frame)
             src, dst = self.callee_address, target
             src_prev = self.balances.get(src, 0)
             rw.account_write(src, AccountFieldTag.Balance, src_prev - value,
                              src_prev)
+            self._mirror_last(callee_pending)
             self.balances[src] = src_prev - value
             dst_prev = self.balances.get(dst, 0)
             rw.account_write(dst, AccountFieldTag.Balance, dst_prev + value,
                              dst_prev)
+            self._mirror_last(callee_pending)
             self.balances[dst] = dst_prev + value
+        # the gadget pins the callee's reversible_write_counter to 2 even
+        # when no transfer rows exist (callop.py:300 Transition.to(2), also
+        # the delta-3 caller branch) — fill the phantom offsets with no-op
+        # re-writes of the access-list row so the skipped rw range has no
+        # gaps (EndBlock's totality argument counts every counter)
+        while len(callee_pending) < 2:
+            pad = dict(al_row)
+            pad["value"] = pad["value_prev"] = 1
+            callee_pending.append(pad)
 
         gas_cost = (
             (GAS_COST_WARM_ACCESS if warm else GAS_COST_ACCOUNT_COLD_ACCESS)
@@ -593,16 +1027,27 @@ class _Tracer:
         all_but_64th = gas_available - gas_available // 64
         callee_gas = min(all_but_64th, gas_arg) if gas_arg < (1 << 64) else all_but_64th
 
-        callee_code = self.codes.get(target)
-        no_code = code_hash in (0, int(EMPTY_CODE_HASH)) or callee_code is None
-        if no_code:
-            # empty-code call: stays in the caller's frame (callop.py:120-142)
+        if is_precompile and precheck_ok:
+            self._enter_precompile(
+                op, target, callee_call_id, callee_anchor, snapshot,
+                cd_offset, cd_length, rd_offset, rd_length, value, has_value,
+                gas_cost, callee_gas, next_mws)
+            return
+
+        if not precheck_ok or no_code:
+            # stays in the caller's frame (callop.py:120-142); the gadget's
+            # reversible delta is 3 either way, so a precheck-failed call
+            # pads the two never-emitted transfer mirror slots with no-op
+            # re-writes of the access-list row
             for tag, v in ((CallContextFieldTag.LastCalleeId, 0),
                            (CallContextFieldTag.LastCalleeReturnDataOffset, 0),
                            (CallContextFieldTag.LastCalleeReturnDataLength, 0)):
                 rw.call_context_write(self.call_id, tag, v)
+            self.pending += callee_pending
+            self.rev += 2
             self.last_callee = (0, 0, 0)
-            self.rev += 3
+            # the gadget refunds the stipend in this branch even on a failed
+            # precheck (callop.py:135; reference expected() mirrors this)
             self.gas_left += has_value * GAS_STIPEND_CALL_WITH_VALUE - gas_cost
             self.mws = next_mws
             self.pc += 1
@@ -615,14 +1060,13 @@ class _Tracer:
             (CallContextFieldTag.StackPointer, 1024 - len(self.stack)),
             (CallContextFieldTag.GasLeft, resume_gas),
             (CallContextFieldTag.MemorySize, next_mws),
-            (CallContextFieldTag.ReversibleWriteCounter, self.rev + 1),
+            (CallContextFieldTag.ReversibleWriteCounter, self.rev),
         ):
             rw.call_context_write(self.call_id, tag, v)
 
-        # callee context reads (18) — note the gadget pins the callee's
-        # IsStatic to the CALLER's flag (callop.py:278), not OR'd with
-        # STATICCALL; mirrored for verdict parity
-        callee_static = self.is_static
+        # callee is static if the caller is, or this is a STATICCALL
+        # (callop.py IsStatic deviation note)
+        callee_static = 1 if (self.is_static or is_staticcall) else 0
         for tag, v in (
             (CallContextFieldTag.CallerId, self.call_id),
             (CallContextFieldTag.TxId, self.tx_id),
@@ -634,7 +1078,7 @@ class _Tracer:
             (CallContextFieldTag.ReturnDataOffset, rd_offset),
             (CallContextFieldTag.ReturnDataLength, rd_length),
             (CallContextFieldTag.Value, ctx_value),
-            (CallContextFieldTag.IsSuccess, 1),
+            (CallContextFieldTag.IsSuccess, int(csucc)),
             (CallContextFieldTag.IsStatic, int(callee_static)),
             (CallContextFieldTag.LastCalleeId, 0),
             (CallContextFieldTag.LastCalleeReturnDataOffset, 0),
@@ -653,7 +1097,7 @@ class _Tracer:
         saved["resume_pc"] = self.pc + 1
         saved["resume_gas"] = resume_gas
         saved["resume_mws"] = next_mws
-        saved["resume_rev"] = self.rev + 1
+        saved["resume_rev"] = self.rev
         self.call_id = callee_call_id
         self.code = callee_code
         self.code_hash = callee_code.hash()
@@ -675,6 +1119,492 @@ class _Tracer:
         self.rd_offset_abs = rd_offset
         self.rd_length = rd_length
         self.last_callee = (0, 0, 0)
+        self.frame_idx = cidx
+        self.persistent = callee_persistent
+        self.pending = callee_pending
+        self.anchor = callee_anchor
+        self.snapshot = snapshot
+        self.is_create_frame = False
+
+    def op_create(self, op):
+        """CREATE/CREATE2 (evm/execution/create.py; row order per
+        tests/evm/test_create.py).  Reference quirks mirrored: the deployer
+        is the frame's CallerAddress (create.py:41-47), the CREATE address
+        uses the post-increment nonce (create.py:108), and CREATE2 packs
+        salt/code-hash little-endian (instruction.py generate_CREAET2)."""
+        from ..ops.keccak import EMPTY_CODE_HASH
+        from ..utils.param import (
+            GAS_COST_COPY_SHA3,
+            GAS_COST_CREATE,
+            GAS_COST_INITCODE_WORD,
+        )
+        from .rlp import rlp_encode
+        from .typing import init_is_code
+
+        is_create2 = op == Opcode.CREATE2
+        rw = self.rw
+        callee_call_id = self.w.steps[-1].rw_counter
+        # the gadget charges GAS_COST_CREATE inside its dynamic formula
+        self.gas_left += constant_gas_cost(op)
+
+        value = self.spop()
+        offset = self.spop()
+        size = self.spop()
+        salt = self.spop() if is_create2 else 0
+
+        initcode_bytes = bytearray(self._mem_bytes(offset, size))
+        initcode = Bytecode(initcode_bytes)
+        init_hash = initcode.hash() if size else int(EMPTY_CODE_HASH)
+        if size:
+            # the gadget's code-hash hint rides the step aux (create.py:94)
+            self.w.steps[-1].aux_data = init_hash
+
+        deployer = self.caller_address
+        nonce_prev = self.nonces.get(deployer, 0)
+        nonce = nonce_prev + 1
+        if is_create2:
+            contract = int.from_bytes(
+                keccak256(b"\xff" + deployer.to_bytes(20, "big")
+                          + salt.to_bytes(32, "little")
+                          + init_hash.to_bytes(32, "little"))[-20:], "big")
+        else:
+            contract = int.from_bytes(
+                keccak256(rlp_encode([deployer.to_bytes(20, "big"), nonce]))[-20:],
+                "big")
+
+        # prechecks (create.py:80-88)
+        depth_ok = self.depth < 1025
+        balance_ok = self.balances.get(deployer, 0) >= value
+        nonce_ok = nonce_prev < (1 << 64) - 1
+        precheck_ok = depth_ok and balance_ok and nonce_ok
+        collision = precheck_ok and (
+            self.nonces.get(contract, 0) != 0
+            or self._account_code_hash(contract) not in (0, int(EMPTY_CODE_HASH))
+        )
+        enters = precheck_ok and not collision and size > 0
+        if enters:
+            cidx, csucc = self._frame_outcome()
+        else:
+            cidx, csucc = None, bool(precheck_ok and not collision)
+        self.spush(contract if csucc else 0)
+
+        self.cc_read(CallContextFieldTag.Depth, self.depth)
+        self.cc_read(CallContextFieldTag.TxId, self.tx_id)
+        self.cc_read(CallContextFieldTag.CallerAddress, deployer)
+        rw.account_write(deployer, AccountFieldTag.Nonce, nonce, nonce_prev)
+        self.nonces[deployer] = nonce
+        rw.account_read(deployer, AccountFieldTag.Balance,
+                        self.balances.get(deployer, 0))
+        # CREATE outcome from the callee context (create.py deviation note)
+        rw.call_context_read(callee_call_id, CallContextFieldTag.IsSuccess,
+                             int(csucc))
+        self.cc_read(CallContextFieldTag.IsStatic, self.is_static)
+        self.reversion_reads()
+
+        # memory expansion + initcode word gas (create.py:60-78)
+        next_mws = max(self.mws, (offset + size + 31) // 32) if size else self.mws
+        mem_gas = (3 * (next_mws - self.mws)
+                   + next_mws * next_mws // 512 - self.mws * self.mws // 512)
+        word_len = (size + 31) // 32
+        gas_cost = GAS_COST_CREATE + mem_gas + word_len * GAS_COST_INITCODE_WORD
+        if is_create2:
+            gas_cost += GAS_COST_COPY_SHA3 * word_len
+        gas_available = self.gas_left - gas_cost
+        callee_gas = gas_available - gas_available // 64
+
+        callee_persistent = self.persistent and csucc
+        callee_anchor = {"own": None, "parent": self.anchor,
+                         "poffset": self.rev + 1, "persistent": callee_persistent,
+                         "failed": enters and not csucc}
+        callee_pending: List[dict] = []
+        setup = [(callee_call_id, CallContextFieldTag.IsSuccess, int(csucc))]
+        snapshot = None
+
+        if precheck_ok:
+            warm = contract in self.warm_addr
+            rw.tx_access_list_account_write(self.tx_id, contract, True, warm)
+            self._mirror_last()
+            self.rev += 1
+            self.warm_addr.add(contract)
+            rw.account_read(contract, AccountFieldTag.CodeHash,
+                            self._account_code_hash(contract))
+            rw.account_read(contract, AccountFieldTag.Nonce,
+                            self.nonces.get(contract, 0))
+            if not collision:
+                rw.call_context_read(
+                    callee_call_id, CallContextFieldTag.RwCounterEndOfReversion, 0)
+                self._fix_rwceor(callee_anchor)
+                rw.call_context_read(callee_call_id,
+                                     CallContextFieldTag.IsPersistent,
+                                     int(callee_persistent))
+                setup.append((callee_call_id,
+                              CallContextFieldTag.RwCounterEndOfReversion,
+                              callee_anchor))
+                setup.append((callee_call_id, CallContextFieldTag.IsPersistent,
+                              int(callee_persistent)))
+                # transfer + contract nonce write, bound to the callee frame
+                snapshot = self._snapshot()
+                src_prev = self.balances.get(deployer, 0)
+                rw.account_write(deployer, AccountFieldTag.Balance,
+                                 src_prev - value, src_prev)
+                self._mirror_last(callee_pending)
+                self.balances[deployer] = src_prev - value
+                dst_prev = self.balances.get(contract, 0)
+                rw.account_write(contract, AccountFieldTag.Balance,
+                                 dst_prev + value, dst_prev)
+                self._mirror_last(callee_pending)
+                self.balances[contract] = dst_prev + value
+                rw.account_write(contract, AccountFieldTag.Nonce, 1, 0)
+                self._mirror_last(callee_pending)
+                self.nonces[contract] = 1
+        self.w.subcall_setups.append(setup)
+
+        if not enters:
+            # stays in the caller's frame (create.py:196-222)
+            for tag, v in ((CallContextFieldTag.LastCalleeId, 0),
+                           (CallContextFieldTag.LastCalleeReturnDataOffset, 0),
+                           (CallContextFieldTag.LastCalleeReturnDataLength, 0)):
+                rw.call_context_write(self.call_id, tag, v)
+            # empty-initcode deploys in place: splice the callee mirrors
+            self.pending += callee_pending
+            self.rev += len(callee_pending)
+            if csucc and size == 0:
+                self.codes[contract] = Bytecode(bytearray())
+                self._register_code(Bytecode(bytearray()))
+            self.gas_left -= gas_cost
+            self.mws = next_mws
+            self.pc += 1
+            return
+
+        # copy the initcode from caller memory into the bytecode table
+        self._register_code(initcode)
+        is_code = init_is_code(initcode_bytes)
+        src_data = {offset + i: (initcode_bytes[i], int(is_code[i]))
+                    for i in range(size)}
+        self.w.copy_circuit.copy(
+            self.copy_r, rw, self.call_id, CopyDataTypeTag.Memory,
+            init_hash, CopyDataTypeTag.Bytecode, offset, offset + size,
+            0, size, src_data,
+        )
+
+        # save the caller context (5 writes)
+        resume_gas = self.gas_left - gas_cost - callee_gas
+        for tag, v in (
+            (CallContextFieldTag.ProgramCounter, self.pc + 1),
+            (CallContextFieldTag.StackPointer, 1024 - len(self.stack)),
+            (CallContextFieldTag.GasLeft, resume_gas),
+            (CallContextFieldTag.MemorySize, next_mws),
+            (CallContextFieldTag.ReversibleWriteCounter, self.rev),
+        ):
+            rw.call_context_write(self.call_id, tag, v)
+
+        # callee context reads (create.py:163-183)
+        for tag, v in (
+            (CallContextFieldTag.CallerId, self.call_id),
+            (CallContextFieldTag.TxId, self.tx_id),
+            (CallContextFieldTag.Depth, self.depth + 1),
+            (CallContextFieldTag.CallerAddress, deployer),
+            (CallContextFieldTag.CalleeAddress, contract),
+            (CallContextFieldTag.IsSuccess, int(csucc)),
+            (CallContextFieldTag.IsStatic, 0),
+            (CallContextFieldTag.IsRoot, 0),
+            (CallContextFieldTag.IsCreate, 1),
+            (CallContextFieldTag.CodeHash, init_hash),
+        ):
+            rw.call_context_read(callee_call_id, tag, v)
+            if tag != CallContextFieldTag.IsSuccess:
+                setup.append((callee_call_id, tag, v))
+
+        # enter the initcode frame
+        saved = self._push_frame()
+        saved["resume_pc"] = self.pc + 1
+        saved["resume_gas"] = resume_gas
+        saved["resume_mws"] = next_mws
+        saved["resume_rev"] = self.rev
+        self.call_id = callee_call_id
+        self.code = initcode
+        self.code_hash = init_hash
+        self.stack = []
+        self.memory = {}
+        self.mws = 0
+        self.pc = 0
+        self.gas_left = callee_gas
+        self.rev = 3
+        self.is_root = False
+        self.callee_address = contract
+        self.caller_address = deployer
+        self.value = value
+        self.is_static = 0
+        self.depth = self.depth + 1
+        self.calldata = b""
+        self.cd_offset_abs = 0
+        self.caller_frame_id = saved["call_id"]
+        self.rd_offset_abs = 0
+        self.rd_length = 0
+        self.last_callee = (0, 0, 0)
+        self.frame_idx = cidx
+        self.persistent = callee_persistent
+        self.pending = callee_pending
+        self.anchor = callee_anchor
+        self.snapshot = snapshot
+        self.is_create_frame = True
+
+    # -- precompile calls ----------------------------------------------------
+
+    def _enter_precompile(self, op, target, callee_call_id, callee_anchor,
+                          snapshot, cd_offset, cd_length, rd_offset, rd_length,
+                          value, has_value, gas_cost, callee_gas, next_mws):
+        """CALL to addresses 0x01/0x04/0x06/0x07/0x08: the callop gadget's
+        precompile branch (callop.py:143-249) followed immediately by the
+        precompile execution state's own step.  Tracer restrictions
+        (documented deviations keep the reversion bookkeeping coherent):
+        value == 0 and the calling frame is persistent."""
+        from ..ops.ecc import bn254, secp256k1
+        from ..ops.keccak import EMPTY_CODE_HASH
+        from ..utils.param import (
+            Bn254AddGas,
+            Bn254PairingBaseGas,
+            Bn254PairingPerPointGas,
+            Bn254ScalarMulGas,
+            EcrecoverGas,
+            IdentityBaseGas,
+            IdentityPerWordGas,
+        )
+        from ..witness.rlc import RLC
+
+        assert value == 0, "tracer: precompile calls must carry no value"
+        assert self.persistent, (
+            "tracer: precompile calls inside reverting frames unsupported "
+            "(the transfer mirrors would need reference-incoherent offsets)")
+        rw = self.rw
+        inp = bytes(self.memory.get(cd_offset + i, 0) for i in range(cd_length))
+
+        # execute the precompile on the host
+        aux = None
+        if target == 1:  # ECRECOVER
+            assert cd_length == 128, "tracer: ecrecover needs 128-byte calldata"
+            msg_hash = int.from_bytes(inp[0:32], "big")
+            v = int.from_bytes(inp[32:64], "big")
+            r = int.from_bytes(inp[64:96], "big")
+            s = int.from_bytes(inp[96:128], "big")
+            pub = secp256k1.recover(msg_hash, v - 27, r, s)
+            addr = (int.from_bytes(
+                keccak256(secp256k1.pubkey_bytes(pub))[-20:], "big")
+                if pub is not None else 0)
+            output = addr.to_bytes(32, "big") if addr else b""
+            ret_len = 32 if addr else 0
+            prec_gas = EcrecoverGas
+            state = ExecutionState.ECRECOVER
+            ib = b"".join(int(x).to_bytes(32, "little")
+                          for x in (msg_hash, v, r, s))
+            input_rlc = RLC(bytes(reversed(ib)), self.keccak_r, n_bytes=128).expr()
+            output_rlc = RLC(bytes(reversed(addr.to_bytes(32, "little"))),
+                             self.keccak_r, n_bytes=32).expr()
+            from ..evm.execution.precompiles import PrecompileAuxData
+
+            aux = (PrecompileAuxData(msg_hash=msg_hash, sig_v=v, sig_r=r,
+                                     sig_s=s, recovered_addr=addr,
+                                     input_rlc=input_rlc, output_rlc=output_rlc),
+                   self.keccak_r)
+            if pub is not None:
+                from ..circuits.sig import SigRow
+
+                self.w.sig_rows.append(
+                    SigRow.assign((v - 27, r, s), pub, inp[0:32]))
+        elif target == 4:  # DATACOPY (identity)
+            assert rd_offset == 0 and rd_length == cd_length, (
+                "tracer: identity calls need rd_offset == 0 and "
+                "rd_length == cd_length (dataCopy.py length-expression quirk)")
+            output = inp
+            ret_len = cd_length
+            prec_gas = IdentityBaseGas + IdentityPerWordGas * ((cd_length + 31) // 32)
+            state = ExecutionState.DATACOPY
+        elif target == 6:  # BN254 ADD
+            assert cd_length == 128
+            px, py, qx, qy = (int.from_bytes(inp[i:i + 32], "big")
+                              for i in range(0, 128, 32))
+            out = bn254.g1_add(None if px == py == 0 else (px, py),
+                               None if qx == qy == 0 else (qx, qy))
+            ox, oy = (0, 0) if out is None else out
+            output = ox.to_bytes(32, "big") + oy.to_bytes(32, "big")
+            ret_len = 64
+            prec_gas = Bn254AddGas
+            state = ExecutionState.BN254_ADD
+            aux = (px, py, qx, qy, ox, oy)
+            from ..circuits.ecc import EcAdd
+
+            self._ecc_circuit().append_add(EcAdd(p=(px, py), q=(qx, qy),
+                                                 out=(ox, oy)))
+        elif target == 7:  # BN254 SCALAR MUL
+            assert cd_length == 96
+            px = int.from_bytes(inp[0:32], "big")
+            py = int.from_bytes(inp[32:64], "big")
+            s_ = int.from_bytes(inp[64:96], "big")
+            out = bn254.g1_mul(None if px == py == 0 else (px, py), s_)
+            ox, oy = (0, 0) if out is None else out
+            output = ox.to_bytes(32, "big") + oy.to_bytes(32, "big")
+            ret_len = 64
+            prec_gas = Bn254ScalarMulGas
+            state = ExecutionState.BN254_SCALAR_MUL
+            aux = (px, py, s_, ox, oy)
+            from ..circuits.ecc import EcMul
+
+            self._ecc_circuit().append_mul(EcMul(p=(px, py), s=s_, out=(ox, oy)))
+        elif target == 8:  # BN254 PAIRING
+            assert cd_length % 192 == 0
+            n_pairs = cd_length // 192
+            pts, g1s, g2s = [], [], []
+            for k in range(n_pairs):
+                c = inp[k * 192:(k + 1) * 192]
+                p_x, p_y, q_x2, q_x1, q_y2, q_y1 = (
+                    int.from_bytes(c[i:i + 32], "big") for i in range(0, 192, 32))
+                pts.append((p_x, p_y, q_x2, q_x1, q_y2, q_y1))
+                g1s.append((p_x, p_y))
+                g2s.append((q_x2, q_x1, q_y2, q_y1))
+            ok = bn254.pairing_check(list(zip(
+                [None if x == y == 0 else (x, y) for x, y in g1s],
+                [None if all(v == 0 for v in g2) else
+                 (bn254.FQ2([g2[1], g2[0]]), bn254.FQ2([g2[3], g2[2]]))
+                 for g2 in g2s],
+            )))
+            output = int(ok).to_bytes(32, "big")
+            ret_len = 32
+            prec_gas = Bn254PairingBaseGas + n_pairs * Bn254PairingPerPointGas
+            state = ExecutionState.BN254_PAIRING
+            ib = bytearray()
+            for (p_x, p_y, q_x2, q_x1, q_y2, q_y1) in pts:
+                for vv in (p_x, p_y, q_x1, q_x2, q_y1, q_y2):
+                    ib.extend(vv.to_bytes(32, "little"))
+            input_rlc = RLC(bytes(reversed(ib)), self.keccak_r,
+                            n_bytes=n_pairs * 192).expr()
+            aux = (input_rlc, n_pairs, 1, int(ok))
+            from ..circuits.ecc import EcPairing
+
+            self._ecc_circuit().append_pairing(
+                EcPairing(g1_pts=g1s, g2_pts=g2s, out=int(ok)))
+        else:
+            raise NotImplementedError(f"tracer: precompile 0x{target:02x}")
+
+        # the CALL_OP step's aux carries (input_len, return_len) for the
+        # callop gadget's hints (callop.py:144-152)
+        self.w.steps[-1].aux_data = (cd_length, ret_len)
+        min_rd = min(ret_len, rd_length)
+
+        # callee context writes (7, callop.py:157-169)
+        for tag, v in (
+            (CallContextFieldTag.IsSuccess, 1),
+            (CallContextFieldTag.CalleeAddress, target),
+            (CallContextFieldTag.CallerId, self.call_id),
+            (CallContextFieldTag.CallDataOffset, cd_offset),
+            (CallContextFieldTag.CallDataLength, cd_length),
+            (CallContextFieldTag.ReturnDataOffset, rd_offset),
+            (CallContextFieldTag.ReturnDataLength, rd_length),
+        ):
+            rw.call_context_write(callee_call_id, tag, v)
+        # caller context saves (8, callop.py:171-184)
+        resume_gas = self.gas_left - gas_cost - callee_gas
+        for tag, v in (
+            (CallContextFieldTag.ProgramCounter, self.pc + 1),
+            (CallContextFieldTag.StackPointer, 1024 - len(self.stack)),
+            (CallContextFieldTag.GasLeft, resume_gas),
+            (CallContextFieldTag.MemorySize, next_mws),
+            (CallContextFieldTag.ReversibleWriteCounter, self.rev),
+            (CallContextFieldTag.LastCalleeId, callee_call_id),
+            (CallContextFieldTag.LastCalleeReturnDataOffset, 0),
+            (CallContextFieldTag.LastCalleeReturnDataLength, ret_len),
+        ):
+            rw.call_context_write(self.call_id, tag, v)
+
+        # copy events (callop.py:187-226): input -> RlcAcc; output -> RlcAcc;
+        # output -> caller's return region.  The callee's output bytes are
+        # preloaded by prologue memory writes so their first rw access is a
+        # write (state-circuit rule); see trace_block.
+        callee_mem = {i: output[i] for i in range(ret_len)}
+        for i in range(ret_len):
+            self.w.memory_setups.append((callee_call_id, i, output[i]))
+        if cd_length:
+            src_data = {cd_offset + i: inp[i] for i in range(cd_length)}
+            self.w.copy_circuit.copy(
+                self.copy_r, rw, self.call_id, CopyDataTypeTag.Memory,
+                callee_call_id, CopyDataTypeTag.RlcAcc, cd_offset,
+                cd_offset + cd_length, 0, cd_length, src_data,
+            )
+        if ret_len:
+            self.w.copy_circuit.copy(
+                self.copy_r, rw, callee_call_id, CopyDataTypeTag.Memory,
+                callee_call_id, CopyDataTypeTag.RlcAcc, 0, ret_len,
+                0, ret_len, dict(callee_mem),
+            )
+            self.w.copy_circuit.copy(
+                self.copy_r, rw, callee_call_id, CopyDataTypeTag.Memory,
+                self.call_id, CopyDataTypeTag.Memory, 0, min_rd,
+                rd_offset, min_rd, dict(callee_mem),
+            )
+            for i in range(min_rd):
+                self.memory[rd_offset + i] = output[i]
+
+        # the precompile execution step: pc advances by 1 and the stack
+        # pointer carries over unchanged (callop.py:242-243 Transition
+        # delta(1)/same) — reference precompile steps are witness-odd this way
+        call_step = self.w.steps[-1]
+        prec_mws = (min_rd + 31) // 32
+        self.w.steps.append(StepState(
+            state, rw.rw_counter, call_id=callee_call_id, is_root=False,
+            code_hash=int(EMPTY_CODE_HASH),
+            program_counter=call_step.program_counter + 1,
+            stack_pointer=call_step.stack_pointer, gas_left=callee_gas,
+            memory_word_size=prec_mws, reversible_write_counter=2,
+            log_id=self.log_count, aux_data=aux,
+        ))
+
+        # the precompile gadget's own rows + caller restore
+        saved = {
+            "call_id": self.call_id, "is_root": self.is_root,
+            "code_hash": self.code_hash, "resume_pc": self.pc + 1,
+            "stack": self.stack, "resume_gas": resume_gas,
+            "resume_mws": next_mws, "resume_rev": self.rev,
+        }
+        prev_call_id, self.call_id = self.call_id, callee_call_id
+        if target == 4:
+            self.cc_read(CallContextFieldTag.CalleeAddress, target)
+            self.cc_read(CallContextFieldTag.CallerId, prev_call_id)
+            self.cc_read(CallContextFieldTag.CallDataOffset, cd_offset)
+            self.cc_read(CallContextFieldTag.CallDataLength, cd_length)
+            self.cc_read(CallContextFieldTag.ReturnDataOffset, rd_offset)
+            self.cc_read(CallContextFieldTag.ReturnDataLength, rd_length)
+            # dataCopy's two copy events (dataCopy.py:38-62)
+            src_data = {cd_offset + i: inp[i] for i in range(cd_length)}
+            self.w.copy_circuit.copy(
+                self.copy_r, rw, prev_call_id, CopyDataTypeTag.Memory,
+                prev_call_id, CopyDataTypeTag.Memory, cd_offset,
+                cd_offset + cd_length, rd_offset, cd_length, src_data,
+            )
+            self.w.copy_circuit.copy(
+                self.copy_r, rw, prev_call_id, CopyDataTypeTag.Memory,
+                callee_call_id, CopyDataTypeTag.Memory, cd_offset,
+                cd_offset + cd_length, 0, cd_length, dict(src_data),
+            )
+            restore_reads_caller_id = False
+        else:
+            self.cc_read(CallContextFieldTag.IsSuccess, 1)
+            if target == 8:  # ecPairing also reads CallDataLength
+                self.cc_read(CallContextFieldTag.CallDataLength, cd_length)
+            self.cc_read(CallContextFieldTag.CalleeAddress, target)
+            restore_reads_caller_id = True
+        self._restore_context_rows(saved, (callee_call_id, 0, ret_len),
+                                   read_caller_id=restore_reads_caller_id)
+        self.call_id = prev_call_id
+        self.gas_left = resume_gas + (callee_gas - prec_gas)
+        self.mws = next_mws
+        self.last_callee = (callee_call_id, 0, ret_len)
+        self.pc += 1
+
+    def _ecc_circuit(self):
+        if self.w.ecc_circuit is None:
+            from ..circuits.ecc import EccCircuit
+
+            self.w.ecc_circuit = EccCircuit(8, 8, 4)
+        return self.w.ecc_circuit
 
     def op_returndatacopy(self, op):
         memory_offset = self.spop()
@@ -858,6 +1788,7 @@ class _Tracer:
         warm = skey in self.warm_slot
         self.rw.tx_access_list_account_storage_write(
             self.tx_id, addr, key, True, warm)
+        self._mirror_last()
         self.warm_slot.add(skey)
         self.rev += 1
         self.gas_left -= WARM_STORAGE_READ_COST if warm else COLD_SLOAD_COST
@@ -876,10 +1807,12 @@ class _Tracer:
         original = self.committed.setdefault(skey, value_prev)
         self.rw.account_storage_write(addr, key, value, value_prev,
                                       self.tx_id, original)
+        self._mirror_last()
         self.storage[skey] = value
         warm = skey in self.warm_slot
         self.rw.tx_access_list_account_storage_write(
             self.tx_id, addr, key, True, warm)
+        self._mirror_last()
         self.warm_slot.add(skey)
 
         # EIP-3529 refund schedule (reference storage.py:88-131)
@@ -901,6 +1834,7 @@ class _Tracer:
                     else:
                         refund += SSTORE_RESET_GAS - SLOAD_GAS
         self.rw.tx_refund_write(self.tx_id, refund, refund_prev)
+        self._mirror_last()
         self.refund = refund
         self.rev += 3
 
@@ -992,6 +1926,8 @@ class _Tracer:
         self.reversion_reads()
         warm = addr in self.warm_addr
         self.rw.tx_access_list_account_write(self.tx_id, addr, True, warm)
+        self._mirror_last()
+        self.rev += 1
         self.warm_addr.add(addr)
         self.gas_left -= 0 if warm else EXTRA_GAS_COST_ACCOUNT_COLD_ACCESS
         return warm
@@ -1022,7 +1958,6 @@ class _Tracer:
             # existing but codeless account: bytecode_length of EMPTY hash
             self._register_code(Bytecode(bytearray()))
         self.spush(size)
-        self.rev += 1  # the EXTCODESIZE gadget counts the AL write reversible
         self.pc += 1
 
     def op_extcodehash(self, op):
@@ -1174,15 +2109,21 @@ class _Tracer:
         self.cc_read(CallContextFieldTag.TxId, self.tx_id)
         self.cc_read(CallContextFieldTag.IsStatic, self.is_static)
         self.cc_read(CallContextFieldTag.CalleeAddress, self.callee_address)
-        self.cc_read(CallContextFieldTag.IsPersistent, 1)
+        persistent = self.persistent
+        self.cc_read(CallContextFieldTag.IsPersistent, int(persistent))
         log_id = self.log_count + 1
-        self.rw.tx_log_write(self.tx_id, log_id, TxLogFieldTag.Address, 0,
-                             self.callee_address)
+        # logs of non-persistent frames are discarded: the gadget skips the
+        # TxLog lookups and the data copy, and log_id does not advance
+        # (log.py gates on is_persistent; log_id Transition.delta(is_persistent))
+        if persistent:
+            self.rw.tx_log_write(self.tx_id, log_id, TxLogFieldTag.Address, 0,
+                                 self.callee_address)
         n_topics = int(op) - int(Opcode.LOG0)
         for i in range(n_topics):
             topic = self.spop()
-            self.rw.tx_log_write(self.tx_id, log_id, TxLogFieldTag.Topic, i, topic)
-        if msize:
+            if persistent:
+                self.rw.tx_log_write(self.tx_id, log_id, TxLogFieldTag.Topic, i, topic)
+        if msize and persistent:
             data = self._mem_bytes(mstart, msize)
             src_data = {mstart + i: data[i] for i in range(msize)}
             self.w.copy_circuit.copy(
@@ -1194,42 +2135,91 @@ class _Tracer:
         # dynamic gas carries the base 375 too (log.py: GAS_COST_LOG +
         # GAS_COST_LOG * n_topics; the opcode's constant gas is 0)
         self.gas_left -= GAS_COST_LOG * (1 + n_topics) + GAS_COST_LOGDATA * msize
-        self.log_count = log_id
+        if persistent:
+            self.log_count = log_id
         self.pc += 1
 
     def op_return_revert(self, op):
         # gadget order (return_revert.py): IsSuccess read precedes the pops
-        assert op == Opcode.RETURN, "tracer: REVERT not supported yet"
-        self.cc_read(CallContextFieldTag.IsSuccess, 1)
+        is_return = op == Opcode.RETURN
+        if not is_return:
+            self._mark_failed()
+        self.cc_read(CallContextFieldTag.IsSuccess, int(is_return))
         offset = self.spop()
         length = self.spop()
+
+        if self.is_create_frame:
+            # A. deploy the returned chunk as contract code — the gadget
+            # emits these rows for REVERT too (is_create branch alone,
+            # return_revert.py note at lines 27-31)
+            from ..ops.keccak import EMPTY_HASH
+            from ..utils.param import GAS_COST_CODE_DEPOSIT
+            from .typing import init_is_code
+
+            contract = self.callee_address
+            self.cc_read(CallContextFieldTag.CalleeAddress, contract)
+            self.rw.account_write(contract, AccountFieldTag.CodeHash,
+                                  self.code_hash, int(EMPTY_HASH))
+            deployed_bytes = bytearray(self._mem_bytes(offset, length))
+            deployed = Bytecode(deployed_bytes)
+            # model: deployment sticks only on RETURN (the unmirrored
+            # account write is a reference quirk; see gadget docstring)
+            if is_return:
+                assert deployed.hash() == self.code_hash, (
+                    "tracer: initcode must return its own bytes (the gadget "
+                    "pins the deployed CodeHash to curr.code_hash, "
+                    "return_revert.py:40)")
+                self.codes[contract] = deployed
+            else:
+                assert length == 0, (
+                    "tracer: REVERT with data in an initcode frame "
+                    "unsupported (the gadget would register the revert data "
+                    "as bytecode under the initcode hash)")
+            self.gas_left -= length * GAS_COST_CODE_DEPOSIT
+            if length:
+                is_code = init_is_code(deployed_bytes)
+                src_data = {offset + i: (deployed_bytes[i], int(is_code[i]))
+                            for i in range(length)}
+                self.w.copy_circuit.copy(
+                    self.copy_r, self.rw, self.call_id, CopyDataTypeTag.Memory,
+                    self.code_hash, CopyDataTypeTag.Bytecode, offset,
+                    offset + length, 0, length, src_data,
+                )
+
         if self.is_root:
-            self.cc_read(CallContextFieldTag.IsPersistent, 1)
+            self.cc_read(CallContextFieldTag.IsPersistent, int(is_return))
             self._expand_dyn(offset if length else 0, length)
+            if not is_return:
+                self._materialize_reversion()
+                self._rollback(self.snapshot)
             self.stopped = True
             return
-        # D. return the memory chunk to the caller (return_revert.py:72-95)
-        self.cc_read(CallContextFieldTag.ReturnDataOffset, self.rd_offset_abs)
-        self.cc_read(CallContextFieldTag.ReturnDataLength, self.rd_length)
-        copy_length = min(length, self.rd_length)
-        # the gadget's copy lookup needs a copy event even for length 0;
-        # zero-length subcall returns are not traced yet
-        assert copy_length > 0, "tracer: zero-length subcall RETURN unsupported"
+
         saved = self.frames[-1]
-        if copy_length:
-            src_data = {offset + i: self.memory.get(offset + i, 0)
-                        for i in range(copy_length)}
-            self.w.copy_circuit.copy(
-                self.copy_r, self.rw, self.call_id, CopyDataTypeTag.Memory,
-                saved["call_id"], CopyDataTypeTag.Memory, offset,
-                offset + length, self.rd_offset_abs, copy_length, src_data,
-            )
-            for i in range(copy_length):
-                saved["memory"][self.rd_offset_abs + i] = self.memory.get(offset + i, 0)
+        if not self.is_create_frame:
+            # D. return the memory chunk to the caller (return_revert.py:72-95)
+            self.cc_read(CallContextFieldTag.ReturnDataOffset, self.rd_offset_abs)
+            self.cc_read(CallContextFieldTag.ReturnDataLength, self.rd_length)
+            copy_length = min(length, self.rd_length)
+            if copy_length:
+                src_data = {offset + i: self.memory.get(offset + i, 0)
+                            for i in range(copy_length)}
+                self.w.copy_circuit.copy(
+                    self.copy_r, self.rw, self.call_id, CopyDataTypeTag.Memory,
+                    saved["call_id"], CopyDataTypeTag.Memory, offset,
+                    offset + length, self.rd_offset_abs, copy_length, src_data,
+                )
+                for i in range(copy_length):
+                    saved["memory"][self.rd_offset_abs + i] = self.memory.get(offset + i, 0)
         self._expand_dyn(offset if length else 0, length)
         last_callee = (self.call_id, offset, length)
         self._restore_context_rows(saved, last_callee)
-        self._pop_frame(last_callee)
+        if is_return:
+            self._pop_frame(last_callee)
+        else:
+            self._materialize_reversion()
+            self._rollback(self.snapshot)
+            self._pop_frame(last_callee, success=False)
 
 
 _ALU_BINARY = {
@@ -1304,6 +2294,8 @@ _HANDLERS = {
     Opcode.RETURN: _Tracer.op_return_revert,
     Opcode.REVERT: _Tracer.op_return_revert,
     Opcode.RETURNDATACOPY: _Tracer.op_returndatacopy,
+    Opcode.CREATE: _Tracer.op_create,
+    Opcode.CREATE2: _Tracer.op_create,
     Opcode.CALL: _Tracer.op_callop,
     Opcode.CALLCODE: _Tracer.op_callop,
     Opcode.DELEGATECALL: _Tracer.op_callop,
@@ -1333,24 +2325,38 @@ def trace_block(
         # WithdrawalRoot matches the withdrawal circuit's final root
         block.withdrawal_root = 7 * sum(1 for wd in withdrawals if wd.amount)
 
-    def run(start: int) -> _Tracer:
-        tracer = _Tracer(block, caller_balance, start, accounts)
+    def run(start: int, outcomes=None) -> _Tracer:
+        tracer = _Tracer(block, caller_balance, start, accounts, outcomes)
         for i, (tx, bytecode) in enumerate(txs):
             tracer.balances.setdefault(tx.caller_address, caller_balance)
             tracer.has_next_tx = i + 1 < len(txs)
             tracer.run_tx(tx, bytecode)
         return tracer
 
-    # pass 1 discovers how many subcall context-setup prologue rows the
-    # state circuit needs (first access of every context key must be a
-    # write); pass 2 re-traces with the prologue budget reserved
+    # pass 1 discovers (a) each frame's halt outcome — needed at emission
+    # time for IsPersistent/IsSuccess values and TxLog gating — and (b) how
+    # many prologue setup rows the state circuit needs (first access of
+    # every context/memory key must be a write); pass 2 replays with the
+    # outcome oracle and the prologue budget reserved
     start = 1 + _N_SETUP_ROWS * len(txs)
-    tracer = run(start)
-    n_setup_rows = sum(len(s) for s in tracer.w.subcall_setups)
-    if n_setup_rows:
-        tracer = run(start + n_setup_rows)
+    probe = run(start)
+    outcomes = probe.discovered
+    n_setup_rows = (sum(len(s) for s in probe.w.subcall_setups)
+                    + len(probe.w.memory_setups))
+    tracer = run(start + n_setup_rows, outcomes)
+    assert tracer.discovered == [] and tracer.fseq == len(outcomes), (
+        "tracer: non-deterministic frame structure between passes")
     w = tracer.w
     rw = w.rw
+
+    # resolve deferred RwCounterEndOfReversion reads
+    for row, anchor in tracer.fixups:
+        row["value"] = _resolve_anchor(anchor)
+    w.tx_rwceor = [_resolve_anchor(a) for a in tracer.root_anchors]
+    for setup in w.subcall_setups:
+        for i, (callee_id, tag, value) in enumerate(setup):
+            if isinstance(value, dict):
+                setup[i] = (callee_id, tag, _resolve_anchor(value))
 
     # --- EndBlock ---
     final_rwc = rw.rw_counter
@@ -1370,15 +2376,18 @@ def trace_block(
         for i in range(1)
     ]
 
-    # --- call-context setup prologue: rw counters 1..10*n_txs for the root
-    # frames, then one write per subcall context key ---
+    # --- call-context setup prologue: rw counters 1..11*n_txs for the root
+    # frames, then one write per subcall context key, then one memory write
+    # per precompile-output byte ---
     prologue = RWDictionary(1)
-    for (tx, bytecode), call_id in zip(txs, tracer.call_ids):
+    for i, ((tx, bytecode), call_id) in enumerate(zip(txs, tracer.call_ids)):
         code_hash = bytecode.hash()
+        success = int(w.tx_success[i])
         for tag, value in (
             (CallContextFieldTag.TxId, tx.id),
-            (CallContextFieldTag.IsPersistent, 1),
-            (CallContextFieldTag.IsSuccess, 1),
+            (CallContextFieldTag.RwCounterEndOfReversion, w.tx_rwceor[i]),
+            (CallContextFieldTag.IsPersistent, success),
+            (CallContextFieldTag.IsSuccess, success),
             (CallContextFieldTag.Depth, 1),
             (CallContextFieldTag.CallerAddress, tx.caller_address),
             (CallContextFieldTag.CalleeAddress, tx.callee_address),
@@ -1391,6 +2400,8 @@ def trace_block(
     for setup in w.subcall_setups:
         for callee_id, tag, value in setup:
             prologue.call_context_write(callee_id, tag, value)
+    for callee_id, addr, byte in w.memory_setups:
+        prologue.memory_write(callee_id, addr, byte)
     assert prologue.rw_counter == start + n_setup_rows
     w.rw.rws = start_rows + prologue.rws + w.rw.rws
 
