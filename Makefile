@@ -12,6 +12,9 @@ lint:
 	  && $(PYTHON) -m flake8 zkevm_specs_tpu tests bench.py __graft_entry__.py \
 	  || $(PYTHON) -m compileall -q zkevm_specs_tpu tests bench.py __graft_entry__.py
 
+mypy:
+	$(PYTHON) -m mypy zkevm_specs_tpu
+
 test:
 	$(PYTHON) -m pytest tests/ -q
 

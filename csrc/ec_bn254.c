@@ -35,8 +35,6 @@ static const bfe FP_ONE = {{0xD35D438DC58F0D9DULL, 0x0A78EB28F5C70B3DULL,
                             0x666EA36F7879462CULL, 0x0E0A77C19A07DF2FULL}};
 static const bfe FP_NINE = {{0xF60647CE410D7FF7ULL, 0x2F3D6F4DD31BD011ULL,
                              0x2943337E3940C6D1ULL, 0x1D9598E8A7E39857ULL}};
-static const bfe FP_THREE = {{0x7A17CAA950AD28D7ULL, 0x1F6AC17AE15521B9ULL,
-                              0x334BEA4E696BD284ULL, 0x2A1F6744CE179D8EULL}};
 /* group order r (plain, for the subgroup-check scalar) */
 static const u64 ORDER_R[4] = {0x43E1F593F0000001ULL, 0x2833E84879B97091ULL,
                                0xB85045B68181585DULL, 0x30644E72E131A029ULL};
@@ -870,7 +868,14 @@ int zkevm_bn254_g2_subgroup_check(const uint8_t x0[32], const uint8_t x1[32],
     return g2j_is_inf(&acc);
 }
 
-/* g1s: n * 64 bytes (x||y); g2s: n * 128 bytes (x0||x1||y0||y1) */
+/* g1s: n * 64 bytes (x||y); g2s: n * 128 bytes (x0||x1||y0||y1).
+ *
+ * PRECONDITION: every input point must be on-curve and subgroup-checked
+ * (the circuit layer does this before calling, ops/ecc/bn254.py
+ * pairing_check / zkevm_bn254_g2_subgroup_check).  linefunc/pt12_add do
+ * not track the accumulator's point-at-infinity flag, so an unvalidated
+ * non-subgroup G2 input could drive the Miller-loop accumulator through
+ * infinity and produce a wrong verdict instead of an error. */
 int zkevm_bn254_pairing_check(const uint8_t *g1s, const uint8_t *g2s,
                               size_t n) {
     fp12 f, m;

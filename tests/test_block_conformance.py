@@ -214,3 +214,147 @@ def test_block_conformance_mega():
     assert len(states) >= 55, (
         f"only {len(states)} states touched: {sorted(s.name for s in states)}")
     verify_super_circuit(witness)
+
+
+# -- full mega block: >=75 of the 83 registered states -----------------------
+
+def mega_full_witness():
+    """Three-tx block covering the success states, the reachable error
+    family, reverting frames, CREATE/CREATE2 and the precompiles — the
+    widest coherent witness the tracer can produce (>= 75 of 83 registered
+    execution states) plus withdrawals."""
+    from zkevm_specs_tpu.ops.ecc import bn254, secp256k1
+    from zkevm_specs_tpu.ops.keccak import keccak256
+    from zkevm_specs_tpu.witness.typing import Withdrawal
+
+    # --- tx 1: the wide program + the call family (the original mega) ---
+    bc1 = wide_program()
+    callee = Bytecode().push1(0x42).push1(0).mstore().push1(32).push1(0).return_()
+    bc1.push1(32).push1(0).push1(0).push1(0).push1(5).push2(0x5000).push2(0xFFFF).call().pop()
+    bc1.push1(8).push1(0).push2(0x0100).returndatacopy()
+    bc1.push1(32).push1(0).push1(0).push1(0).push2(0x5000).push2(0xFFFF).staticcall().pop()
+    bc1.push1(32).push1(0).push1(0).push1(0).push2(0x5000).push2(0xFFFF).delegatecall().pop()
+    bc1.push1(32).push1(0).push1(0).push1(0).push1(0).push2(0x5000).push2(0xFFFF).callcode().pop()
+    target = len(bc1.code) + 5
+    bc1.push2(target).jump()
+    bc1.stop()
+    bc1.jumpdest()
+    bc1.push1(0).push2(target + 9).jumpi()
+    bc1.stop()
+
+    # --- tx 2: reverting frames + the error family ---
+    def subcall(bc, addr, gas_arg):
+        bc.push1(0).push1(0).push1(0).push1(0).push1(0).push2(addr) \
+          .push3(gas_arg).call().pop()
+
+    bc2 = Bytecode()
+    err_callees = {
+        0x6001: (Bytecode().push1(0x55).push1(0x09).sstore()
+                 .push1(0).push1(0).log1().push1(0).push1(0).revert(), 0xFFFF),
+        0x6002: (Bytecode().push1(9).jump(), 0xFFFF),            # invalid jump
+        0x6003: (Bytecode().pop(), 0xFFFF),                      # stack underflow
+        0x6004: (Bytecode().push1(1).push1(2).add(), 5),         # OOG constant
+        0x6005: (Bytecode().push1(0xAB).balance(), 300),         # OOG account access
+        0x6006: (Bytecode().push1(0).push3(0x100000).mstore(), 5000),
+        0x6007: (Bytecode().push3(0x100000).push1(0).return_(), 5000),
+        0x6008: (Bytecode().push3(0x100000).push1(0).push1(0).calldatacopy(), 5000),
+        0x6009: (Bytecode().push1(1).push1(2).sstore(), 2000),   # SSTORE sentry
+        0x600A: (Bytecode().push3(0x100000).push1(0).log0(), 5000),
+        0x600B: (Bytecode().push32(1 << 200).push1(2).exp(), 100),
+        0x600C: (Bytecode().push3(0x100000).push1(0).sha3(), 5000),
+        0x600D: (Bytecode(), 0xFFFF),                            # placeholder
+    }
+    invalid = Bytecode()
+    invalid.code.append(0xEF)
+    invalid.is_code.append(True)
+    err_callees[0x600D] = (invalid, 0xFFFF)
+    # OOG CALL: callee calls an inner stop contract with too little gas
+    inner_stop = Bytecode().stop()
+    oog_call = Bytecode()
+    oog_call.push1(0).push1(0).push1(0).push1(0).push1(0).push2(0x600F).push2(0xFF).call()
+    err_callees[0x600E] = (oog_call, 150)
+    err_callees[0x600F] = (inner_stop, 0xFFFF)
+    # write protection: STATICCALL into an SSTORE
+    wp = Bytecode().push1(1).push1(2).sstore()
+    err_callees[0x6010] = (wp, 0)
+    # returndata out of bound
+    ret1 = Bytecode().push1(1).push1(0).mstore8().push1(1).push1(0).return_()
+    rdoob = Bytecode()
+    rdoob.push1(1).push1(0).push1(0).push1(0).push2(0x6012).push2(0xFFFF).staticcall().pop()
+    rdoob.push1(32).push1(16).push1(0).returndatacopy()
+    err_callees[0x6011] = (rdoob, 0xFFFF)
+    err_callees[0x6012] = (ret1, 0xFFFF)
+
+    for addr, (code, gas_arg) in err_callees.items():
+        if addr in (0x600F, 0x6012):
+            continue  # inner helpers, called indirectly
+        if addr == 0x6010:
+            bc2.push1(0).push1(0).push1(0).push1(0).push2(addr) \
+               .push2(0xFFFF).staticcall().pop()
+        else:
+            subcall(bc2, addr, gas_arg)
+    bc2.stop()
+    accounts = {0x5000: Account(address=0x5000, balance=0, code=callee)}
+    for addr, (code, _) in err_callees.items():
+        accounts[addr] = Account(address=addr, code=code)
+
+    # --- tx 3: CREATE/CREATE2 + precompiles ---
+    bc3 = Bytecode()
+    ic = Bytecode()
+    ic.push1(12).push1(0).push1(0).codecopy().push1(12).push1(0).return_()
+    data = bytes(ic.code)
+    for i in range(0, len(data), 32):
+        word = int.from_bytes(data[i:i + 32].ljust(32, b"\x00"), "big")
+        bc3.push32(word).push1(i).mstore()
+    bc3.push1(len(data)).push1(0).push1(0).create().pop()
+    bc3.push1(0x77).push1(len(data)).push1(0).push1(0).create2().pop()
+    # ecrecover
+    priv = 0xA5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5A5
+    msg_hash = keccak256(b"mega block ecrecover")
+    v, r, s = secp256k1.sign(int.from_bytes(msg_hash, "big"), priv, k=0x999)
+    calldata = (msg_hash + (27 + v).to_bytes(32, "big")
+                + r.to_bytes(32, "big") + s.to_bytes(32, "big"))
+    base = 0x200
+    for i in range(0, 128, 32):
+        bc3.push32(int.from_bytes(calldata[i:i + 32], "big")).push2(base + i).mstore()
+    bc3.push1(32).push1(0).push2(128).push2(base).push1(0).push1(0x01) \
+       .push3(0xFFFFF).call().pop()
+    # identity
+    bc3.push1(64).push1(0).push1(64).push2(base).push1(0).push1(0x04) \
+       .push3(0xFFFFF).call().pop()
+    # bn254 add + mul
+    p = bn254.g1_mul(bn254.G1, 2)
+    q = bn254.g1_mul(bn254.G1, 3)
+    add_cd = b"".join(x.to_bytes(32, "big") for x in (*p, *q))
+    b2 = 0x400
+    for i in range(0, 128, 32):
+        bc3.push32(int.from_bytes(add_cd[i:i + 32], "big")).push2(b2 + i).mstore()
+    bc3.push1(64).push1(0).push2(128).push2(b2).push1(0).push1(0x06) \
+       .push3(0xFFFFF).call().pop()
+    bc3.push1(64).push1(0).push1(96).push2(b2).push1(0).push1(0x07) \
+       .push3(0xFFFFF).call().pop()
+    bc3.stop()
+
+    block = Block(base_fee=int(1e9), number=256,
+                  history_hashes=[0x1000 + i for i in range(256)])
+    txs = [
+        (Transaction(id=1, gas=2000000, gas_price=int(2e9), caller_address=0xFE,
+                     callee_address=0xFF, value=10, call_data=bytes(range(1, 33))), bc1),
+        (Transaction(id=2, gas=2000000, gas_price=int(2e9), caller_address=0xFE,
+                     callee_address=0xF2, nonce=1), bc2),
+        (Transaction(id=3, gas=3000000, gas_price=int(2e9), caller_address=0xFE,
+                     callee_address=0xF3, nonce=2), bc3),
+    ]
+    wds = [Withdrawal(id=7, validator_id=1, address=0xD00D, amount=int(2e9)),
+           Withdrawal(id=8, validator_id=2, address=0xD00E, amount=int(3e9))]
+    return trace_block(block, txs, accounts=accounts, withdrawals=wds)
+
+
+def test_block_conformance_mega_full():
+    w = mega_full_witness()
+    states = {s.execution_state for s in w.steps}
+    assert len(states) >= 75, (
+        f"only {len(states)} states touched; missing: "
+        f"{sorted(s.name for s in set(ExecutionState) - states)}")
+    assert w.tx_success == [True, True, True]
+    verify_super_circuit(w)

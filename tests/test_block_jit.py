@@ -90,7 +90,7 @@ def test_block_jit_all_subcircuits():
     verify_super_circuit(w, signed_txs=signed, tx_circuit_params=(2, 8, 1337))
     bv = CompiledBlockVerifier(w, signed_txs=signed, tx_circuit_params=(2, 8, 1337))
     assert {n for n, _ in bv.circuit_kernels} == {
-        "bytecode", "keccak", "tx", "sig", "withdrawal", "pi"}
+        "prologue", "bytecode", "keccak", "tx", "sig", "withdrawal", "pi"}
     bv.verify()
 
 
@@ -100,3 +100,171 @@ def test_block_jit_flags_corrupt_subcircuit():
     bv = CompiledBlockVerifier(w, signed_txs=signed, tx_circuit_params=(2, 8, 1337))
     with pytest.raises(AssertionError):
         bv.verify()
+
+
+# -- full mega block through the production path -----------------------------
+
+def test_block_jit_mega_full():
+    """The 76-state mega block (reverts, error halts, CREATE/CREATE2,
+    precompiles) through CompiledBlockVerifier: forces the copy/exp/ecc/
+    sig_trace kernels to execute in production mode alongside the always-on
+    bytecode/keccak/withdrawal/pi kernels."""
+    from test_block_conformance import mega_full_witness
+
+    w = mega_full_witness()
+    bv = CompiledBlockVerifier(w)
+    names = {n for n, _ in bv.circuit_kernels}
+    assert {"bytecode", "keccak", "copy", "exp", "ecc", "sig_trace",
+            "withdrawal", "pi"} <= names, names
+    bv.verify()
+
+
+def _mini_revert_witness():
+    bc = Bytecode().push1(0x2A).push1(0x07).sstore().push1(0).push1(0).revert()
+    return trace_block(Block(base_fee=int(1e9)),
+                       [(Transaction(id=1, gas=100000, gas_price=int(2e9),
+                                     caller_address=0xFE, callee_address=0xFF),
+                         bc)])
+
+
+def test_block_jit_revert_and_corrupt_mirror():
+    """A reverting block verifies in production mode; corrupting the
+    reversion mirror row is caught by the compiled state circuit."""
+    w = _mini_revert_witness()
+    CompiledBlockVerifier(w).verify()
+    w2 = _mini_revert_witness()
+    mirrors = [r for r in w2.rw.rws if r["key0"] == 4 and r["rw"] == 1]
+    mirrors.sort(key=lambda r: r["rw_counter"])
+    mirrors[-1]["value"] = 99
+    with pytest.raises(AssertionError):
+        CompiledBlockVerifier(w2).verify()
+
+
+# -- one corrupt-witness vector per producer kernel --------------------------
+
+def _events_witness():
+    """Small block with copy + exp events and an ecRecover call."""
+    from zkevm_specs_tpu.ops.ecc import secp256k1
+    from zkevm_specs_tpu.ops.keccak import keccak256
+
+    bc = Bytecode()
+    bc.push1(3).push1(2).exp().pop()
+    bc.push1(8).push1(0).push1(0).calldatacopy()
+    priv = 0xC1C1C1C1C1C1C1C1C1C1C1C1C1C1C1C1C1C1C1C1C1C1C1C1C1C1C1C1C1
+    msg_hash = keccak256(b"kernel corrupt vectors")
+    v, r, s = secp256k1.sign(int.from_bytes(msg_hash, "big"), priv, k=0x31337)
+    calldata = (msg_hash + (27 + v).to_bytes(32, "big")
+                + r.to_bytes(32, "big") + s.to_bytes(32, "big"))
+    base = 0x100
+    for i in range(0, 128, 32):
+        bc.push32(int.from_bytes(calldata[i:i + 32], "big")).push2(base + i).mstore()
+    bc.push1(32).push1(0).push2(128).push2(base).push1(0).push1(0x01) \
+      .push3(0xFFFFF).call().pop()
+    bc.stop()
+    return trace_block(Block(base_fee=int(1e9)),
+                       [(Transaction(id=1, gas=2000000, gas_price=int(2e9),
+                                     caller_address=0xFE, callee_address=0xFF,
+                                     call_data=bytes(range(8))), bc)])
+
+
+def test_block_jit_corrupt_copy_kernel():
+    w = _events_witness()
+    CompiledBlockVerifier(w).verify()  # clean baseline exercises copy kernel
+    w2 = _events_witness()
+    w2.copy_circuit.rows[0]["value"] += 1
+    with pytest.raises(AssertionError):
+        CompiledBlockVerifier(w2).verify()
+
+
+def test_block_jit_corrupt_exp_kernel():
+    w = _events_witness()
+    w.exp_circuit.rows[0]["exponentiation"] += 1
+    with pytest.raises(AssertionError):
+        CompiledBlockVerifier(w).verify()
+
+
+def test_block_jit_corrupt_sig_trace_kernel():
+    w = _events_witness()
+    w.sig_rows[0].is_valid = not w.sig_rows[0].is_valid
+    with pytest.raises(AssertionError):
+        CompiledBlockVerifier(w).verify()
+
+
+def test_block_jit_corrupt_ecc_kernel():
+    from zkevm_specs_tpu.circuits.ecc import EcAdd
+    from zkevm_specs_tpu.ops.ecc import bn254
+
+    from test_block_precompiles import _call_precompile, _store
+
+    p = bn254.g1_mul(bn254.G1, 2)
+    q = bn254.g1_mul(bn254.G1, 3)
+    calldata = b"".join(x.to_bytes(32, "big") for x in (*p, *q))
+    bc = Bytecode()
+    _store(bc, calldata)
+    _call_precompile(bc, 0x06, cd=(0, 128), rd=(0, 64))
+    bc.stop()
+    w = trace_block(Block(base_fee=int(1e9)),
+                    [(Transaction(id=1, gas=2000000, gas_price=int(2e9),
+                                  caller_address=0xFE, callee_address=0xFF), bc)])
+    op = w.ecc_circuit.add_ops[0]
+    w.ecc_circuit.add_ops[0] = EcAdd(p=op.p, q=op.q,
+                                     out=(op.out[0], op.out[1] + 1))
+    with pytest.raises(AssertionError):
+        CompiledBlockVerifier(w).verify()
+
+
+def test_block_jit_corrupt_bytecode_kernel():
+    """Unit-level corrupt vector for the bytecode kernel: a flipped byte
+    value no longer matches the keccak-table hash."""
+    from zkevm_specs_tpu.circuits.bytecode import (
+        assign_bytecode_circuit, assign_keccak_table, bytecode_kernel, unroll)
+
+    code = bytes(Bytecode().push1(1).push1(2).add().stop().code)
+    keccak_rows = assign_keccak_table([code], 0x100)
+    rows = assign_bytecode_circuit(8, [unroll(code)], 0x100)
+    rows[2]["value"] ^= 1
+    k = bytecode_kernel(rows, keccak_rows, 0x100)
+    out = np.asarray(k(k.device_args()))
+    assert out.any(), "corrupt bytecode row not flagged"
+
+
+def test_block_jit_corrupt_keccak_kernel():
+    from zkevm_specs_tpu.circuits.bytecode import assign_keccak_table
+    from zkevm_specs_tpu.circuits.keccak import keccak_kernel
+
+    data = [b"corrupt keccak"]
+    rows = assign_keccak_table(data, 0x100)
+    rows[-1]["output"] += 1
+    k = keccak_kernel(data, rows, 0x100)
+    out = np.asarray(k(k.device_args()))
+    assert out.any(), "corrupt keccak output not flagged"
+
+
+def test_block_jit_corrupt_tx_sig_kernels():
+    """Corrupt vectors for the tx and sig kernels (signed-tx path)."""
+    from zkevm_specs_tpu.circuits.sig import sig_kernel
+    from zkevm_specs_tpu.circuits.super_circuit import sig_witness_from_txs
+    from zkevm_specs_tpu.circuits.tx import Transaction as SignedTx
+    from zkevm_specs_tpu.circuits.tx import sign_tx, tx_kernel, txs2witness
+
+    signed = [sign_tx(7, SignedTx(nonce=0, gas_price=int(2e9), gas=100000,
+                                  to=0xFF, value=0, data=b"", sig_v=0,
+                                  sig_r=0, sig_s=0), 1337)]
+    tx_witness = txs2witness(signed, 1337, 2, 8, 0x100)
+    tx_witness.rows[0]["value"] += 1  # nonce row corrupted
+    k = tx_kernel(tx_witness, 2, 0x100)
+    assert np.asarray(k(k.device_args())).any()
+
+    sw = sig_witness_from_txs(signed, 1337, 0x100)
+    sw.rows[0].recovered_addr += 1
+    k2 = sig_kernel(sw, 0x100)
+    assert np.asarray(k2(k2.device_args())).any()
+
+
+def test_block_jit_corrupt_pi_kernel():
+    w, signed = _full_witness()
+    # tamper a block-table value AFTER tracing: pi commits the block table,
+    # so the raw-byte stream no longer matches the tampered table value
+    w.block.coinbase += 1
+    with pytest.raises(AssertionError):
+        CompiledBlockVerifier(w).verify()

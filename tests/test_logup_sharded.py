@@ -1,13 +1,16 @@
 """Distributed lookup argument: sharded tables + logUp partial sums + psum
-over an 8-device mesh — no device holds the full rw table
-(parallel/logup_shard.py; replaces reference table.py:864-885 semantics for
-multi-chip deployments)."""
+over an 8-device mesh — no device holds the full rw table, the query side is
+fingerprinted from constraint-consumed values, and the table side is
+fingerprinted on-device from each shard (parallel/logup_shard.py; replaces
+reference table.py:864-885 semantics for multi-chip deployments)."""
 import numpy as np
 import pytest
 
 from zkevm_specs_tpu.parallel.logup_shard import (
+    block_lookup_log,
+    query_fingerprints_from_log,
     sharded_logup_check,
-    table_fingerprints,
+    table_parts,
     verify_block_lookups_logup,
 )
 from zkevm_specs_tpu.parallel.shard import make_mesh
@@ -36,25 +39,36 @@ def test_sharded_rw_logup_ok():
 
 def test_sharded_logup_detects_bad_multiplicity():
     mesh = make_mesh(8)
-    w = _witness()
-    from zkevm_specs_tpu.tables.container import Tables
-    from zkevm_specs_tpu.circuits.bytecode import assign_keccak_table
-
-    kwargs = w.tables_kwargs()
-    kwargs["keccak_table"] = assign_keccak_table(
-        [bytes(b.code) for b in w.bytecodes], 0x64)
-    tables = Tables(**kwargs)
-    t_fps = table_fingerprints(tables.rw)
-    n = t_fps.shape[0]
-    # claim every row queried once, but drop one query from the lhs
-    q_fps = t_fps[np.arange(n)]
-    en = np.ones(n, dtype=bool)
-    en[3] = False
+    tables, per_table = block_lookup_log(_witness())
+    table = tables.rw
+    q_fps, en = query_fingerprints_from_log(table.schema, per_table["rw"])
+    idx = np.concatenate([i for i, _, _ in per_table["rw"]])
+    mult_counts = np.bincount(idx[en.astype(bool)], minlength=table.n_rows)
+    mult_counts[int(idx[0])] += 1  # over-count one row
     from zkevm_specs_tpu.dsl.value import Ctx, F
 
-    ctx = Ctx(np, n, "eager")
-    mult = np.asarray(F.from_ints(ctx, [1] * n, 64).widen(16).limbs)
-    assert sharded_logup_check(q_fps, en, t_fps, mult, mesh, 0xA1FA) is False
+    ctx = Ctx(np, table.n_rows, "eager")
+    mult = np.asarray(F.from_ints(ctx, [int(c) for c in mult_counts], 64)
+                      .widen(16).limbs)
+    assert sharded_logup_check(q_fps, en, table_parts(table), mult, mesh,
+                               0xA1FA) is False
+
+
+def test_sharded_logup_detects_corrupt_table_value():
+    """The binding property: a corrupted TABLE VALUE in the sharded copy
+    (multiplicities untouched) is caught by the distributed argument alone —
+    the query side was fingerprinted from the values the constraints
+    consumed, so rhs shifts while lhs does not."""
+    mesh = make_mesh(8)
+
+    def corrupt(name, parts):
+        # flip a value limb of some mid-table row in the device-bound data
+        _w, limbs = parts[-1]
+        limbs[limbs.shape[0] // 2, 0] ^= 1
+
+    out = verify_block_lookups_logup(_witness(), mesh, tables_names=("rw",),
+                                     corrupt_table=corrupt)
+    assert out["rw"] is False
 
 
 def test_sharded_logup_exact_on_2d_mesh():

@@ -11,10 +11,18 @@ from zkevm_specs_tpu.witness.typing import Block, Withdrawal
 MAX_WD = 5
 R = 0x64
 
-BLOCK_ROWS = [
-    {"field_tag": r["field_tag"], "value": r["value"]}
-    for r in Block().table_assignments()
-]
+def _block_rows(n_wds: int):
+    """Block table whose WithdrawalRoot matches the mock root chain
+    (root += 7 per non-padding withdrawal); the circuit constrains the
+    final chained root against this PUBLIC row — the witness builder no
+    longer injects a matching one."""
+    return [
+        {"field_tag": r["field_tag"], "value": r["value"]}
+        for r in Block(withdrawal_root=7 * n_wds).table_assignments()
+    ]
+
+
+BLOCK_ROWS = _block_rows(2)
 
 
 def test_withdrawal_ok():
@@ -24,7 +32,7 @@ def test_withdrawal_ok():
 
 
 def test_withdrawal_only_padding():
-    witness = withdrawals2witness([], MAX_WD, R, BLOCK_ROWS)
+    witness = withdrawals2witness([], MAX_WD, R, _block_rows(0))
     verify_circuit(witness, MAX_WD, R)
 
 
@@ -37,7 +45,7 @@ def test_withdrawal_non_monotonic_id_rejected():
 
 def test_withdrawal_bad_amount_hash_rejected():
     wds = [Withdrawal(7, 99, 0xCAFE, int(2e9))]
-    witness = withdrawals2witness(wds, MAX_WD, R, BLOCK_ROWS)
+    witness = withdrawals2witness(wds, MAX_WD, R, _block_rows(1))
     rows = list(witness.rows)
     rows[0] = rows[0]._replace(amount=rows[0].amount + 1)
     with pytest.raises(AssertionError):
@@ -47,7 +55,7 @@ def test_withdrawal_bad_amount_hash_rejected():
 
 def test_withdrawal_bad_final_root_rejected():
     wds = [Withdrawal(7, 99, 0xCAFE, int(2e9))]
-    witness = withdrawals2witness(wds, MAX_WD, R, BLOCK_ROWS)
+    witness = withdrawals2witness(wds, MAX_WD, R, _block_rows(1))
     rows = list(witness.rows)
     rows[-1] = rows[-1]._replace(root=rows[-1].root + 1)
     with pytest.raises(AssertionError):

@@ -214,11 +214,14 @@ class PublicData:
         return out
 
     def withdrawal_table_raw_bytes(self, MAX_WITHDRAWALS: int) -> List[bytes]:
+        # the raw-byte stream commits the withdrawal's OWN id (the reference
+        # substitutes the slot index, pi_circuit.py:625/221, which silently
+        # requires ids == 0..n-1; real ids are monotonic but arbitrary)
         out = []
         assert 0 < len(self.withdrawals) <= MAX_WITHDRAWALS
         for i in range(MAX_WITHDRAWALS):
             wd = self.withdrawals[i] if i < len(self.withdrawals) else Withdrawal.default()
-            out.extend(wd.withdrawal_raw_bytes(i))
+            out.extend(wd.withdrawal_raw_bytes(wd.id))
         return out
 
     def tx_table_tx_cols(self, MAX_TXS: int):
@@ -754,12 +757,21 @@ def check_pi(ctx: Ctx, cs: ConstraintSystem, c, tables, static, extra):
         enabled=q_gas,
     )
 
-    # withdrawal region (reference :316-320)
+    # withdrawal region (reference :316-320).  Deviation: the reference
+    # asserts amount != 0 on EVERY row (pi_circuit.py:321), which forbids
+    # the zero-amount padding its own withdrawal circuit uses
+    # (withdrawal_circuit.py padding convention) and so forces pi to be
+    # skipped for withdrawal-free blocks.  Here padding rows (amount == 0)
+    # are allowed but must form a suffix, and the id chain still increments
+    # through them — matching the withdrawal circuit's padding exactly.
     m_wd = ~c["q_withdrawal_table"].is_zero_mask()
     m_wd_next = ~nx["q_withdrawal_table"].is_zero_mask()
     check(m_wd & m_wd_next, nx["wd_id"].eq_mask(c["wd_id"] + 1),
           "withdrawal id not incremented")
-    check(m_wd, ~c["wd_amount"].is_zero_mask(), "withdrawal amount is zero")
+    is_pad = c["wd_amount"].is_zero_mask()
+    nx_pad = nx["wd_amount"].is_zero_mask()
+    check(m_wd & m_wd_next & is_pad, nx_pad,
+          "withdrawal padding not a suffix")
 
 
 _PI_LOOKUP_SUBSETS = {

@@ -145,7 +145,10 @@ def public_data_from_witness(witness: BlockWitness, MAX_WITHDRAWALS: int):
     pi_wds = [PiWithdrawal(wd.id, wd.validator_id, wd.address, wd.amount)
               for wd in witness.withdrawals]
     while len(pi_wds) < MAX_WITHDRAWALS:
-        pi_wds.append(PiWithdrawal(0, 0, 0, 0))
+        # padding continues the id chain with zero amounts, matching the
+        # withdrawal circuit's padding convention (circuits/withdrawal.py)
+        next_id = pi_wds[-1].id + 1 if pi_wds else 0
+        pi_wds.append(PiWithdrawal(next_id, 0, 0, 0))
     return PublicData(chain_id=witness.block.chainid, block=pi_block,
                       state_root_prev=0, block_hashes=hashes, txs=pi_txs,
                       withdrawals=pi_wds)
@@ -192,7 +195,11 @@ def verify_super_circuit(
     config = config or DEFAULT_CONFIG
     keccak_randomness = (config.keccak_randomness if keccak_randomness is None
                          else keccak_randomness)
-    k_bytecode = config.bytecode_k if k_bytecode is None else k_bytecode
+    if k_bytecode is None:
+        # grow k to fit the block's unrolled bytecodes (config.bytecode_k is
+        # the floor; the circuit needs 2^k > total rows incl. trailing Header)
+        n_rows = sum(len(bc.code) + 1 for bc in witness.bytecodes) + 1
+        k_bytecode = max(config.bytecode_k, n_rows.bit_length())
     if signed_txs is not None and tx_circuit_params is None:
         tx_circuit_params = config.tx_circuit_params()
     # shared keccak table covers all bytecode hashes
@@ -228,9 +235,15 @@ def verify_super_circuit(
     # 1. EVM circuit over all steps.  begin_with_first_step is off because
     # the block witness carries a call-context setup prologue in the rw
     # table (see witness/tracer.py), so BeginTx starts past rw_counter 1;
-    # the prologue itself is constrained by verify_prologue below.
+    # the prologue itself is constrained IN-CIRCUIT below (check_prologue).
     verify_steps(tables, list(witness.steps), end_with_last_step=True)
-    verify_prologue(witness)
+    from ..runtime.kernels import run_spec
+
+    from ..tables.schemas import BytecodeFieldTag as _BFT
+
+    p_cols, p_tables, p_extra = build_prologue_inputs(witness, tables)
+    run_spec("prologue", check_prologue, p_cols, p_tables,
+             {"header_tag": int(_BFT.Header)}, p_extra)
 
     # 2. state circuit proves the rw table
     ops = rw_rows_to_state_ops(witness.rw.rws)
@@ -283,25 +296,186 @@ def verify_super_circuit(
         verify_sig_circuit(SigWitness(list(witness.sig_rows), kt),
                            keccak_randomness)
 
-    # 8. pi + withdrawal circuits commit the public data (the reference pi
-    # layout requires every withdrawal slot filled — pi_circuit.py:318-321 —
-    # so these run when the block carries withdrawals)
-    if witness.withdrawals:
-        from .pi import public_data2witness, verify_circuit as verify_pi_circuit
-        from .withdrawal import verify_circuit as verify_wd_circuit
-        from .withdrawal import withdrawals2witness
+    # 8. pi + withdrawal circuits commit the public data for EVERY block
+    # (the reference commits all public data unconditionally,
+    # pi_circuit.py:338; withdrawal-free blocks get one padding slot so
+    # every pi withdrawal row is filled — pi_circuit.py:318-321)
+    from .pi import public_data2witness, verify_circuit as verify_pi_circuit
+    from .withdrawal import verify_circuit as verify_wd_circuit
+    from .withdrawal import withdrawals2witness
 
-        n_wd = len(witness.withdrawals)
-        wd_witness = withdrawals2witness(witness.withdrawals, n_wd,
-                                         keccak_randomness,
-                                         kwargs["block_table"])
-        verify_wd_circuit(wd_witness, n_wd, keccak_randomness)
+    n_wd = max(1, len(witness.withdrawals))
+    wd_witness = withdrawals2witness(witness.withdrawals, n_wd,
+                                     keccak_randomness,
+                                     kwargs["block_table"])
+    verify_wd_circuit(wd_witness, n_wd, keccak_randomness)
 
-        max_txs = len(witness.txs)
-        max_calldata = max(1, sum(len(tx.call_data) for tx in witness.txs))
-        pd = public_data_from_witness(witness, n_wd)
-        pi_witness = public_data2witness(pd, max_txs, max_calldata, n_wd)
-        verify_pi_circuit(pi_witness, max_txs, max_calldata, n_wd)
+    max_txs = len(witness.txs)
+    max_calldata = max(1, sum(len(tx.call_data) for tx in witness.txs))
+    pd = public_data_from_witness(witness, n_wd)
+    pi_witness = public_data2witness(pd, max_txs, max_calldata, n_wd)
+    verify_pi_circuit(pi_witness, max_txs, max_calldata, n_wd)
+
+
+def build_prologue_inputs(witness: BlockWitness, tables: Tables):
+    """Columns + expectation arrays for the IN-CIRCUIT prologue check: the
+    first K rw counters must be exactly the canonical call-context /
+    memory setup writes, with the root-frame values bound to the TX table
+    and the code hash bound to the bytecode table.  Together with the
+    state circuit's first-access/consistency rules this pins the whole
+    rw-counter space in-circuit (the integrated-witness replacement of
+    reference evm_circuit/main.py:48-53's first-step rule; supersedes the
+    host-assert verify_prologue of rounds 1-2)."""
+    import numpy as np
+
+    from ..dsl.value import Ctx, F, Word
+    from ..tables.schemas import BytecodeFieldTag
+    from ..tables.schemas import CallContextFieldTag as CC
+    from ..tables.schemas import TxContextFieldTag as TT
+    from ..witness.tracer import _N_SETUP_ROWS
+
+    rws = sorted(witness.rw.rws, key=lambda r: r["rw_counter"])
+    rws = [r for r in rws if r["key0"] != int(Target.Start)]
+    n_setup = (sum(len(s) for s in witness.subcall_setups)
+               + len(witness.memory_setups))
+    K = _N_SETUP_ROWS * len(witness.txs) + n_setup
+    rows = rws[:K]
+    assert len(rows) == K, "prologue: rw table shorter than the setup region"
+
+    exp_key0 = np.full(K, int(Target.CallContext), dtype=np.int64)
+    exp_addr = np.zeros(K, dtype=np.int64)
+    exp_id = np.zeros(K, dtype=np.int64)
+    const_mask = np.zeros(K, dtype=bool)
+    const_val = np.zeros(K, dtype=np.int64)
+    tx_mask = np.zeros(K, dtype=bool)
+    tx_tag = np.zeros(K, dtype=np.int64)
+    tx_id = np.zeros(K, dtype=np.int64)
+    pair_mask = np.zeros(K, dtype=bool)
+    pair_idx = np.zeros(K, dtype=np.int64)
+    hash_mask = np.zeros(K, dtype=bool)
+
+    tags = (CC.TxId, CC.RwCounterEndOfReversion, CC.IsPersistent, CC.IsSuccess,
+            CC.Depth, CC.CallerAddress, CC.CalleeAddress, CC.CallDataLength,
+            CC.Value, CC.IsRoot, CC.CodeHash)
+    assert len(tags) == _N_SETUP_ROWS
+    for i, tx in enumerate(witness.txs):
+        b = i * _N_SETUP_ROWS
+        for j, tag in enumerate(tags):
+            exp_addr[b + j] = int(tag)
+        # the call id is the row's own id column; pin all 11 to one value by
+        # pairing each row's id with the first row's (cross-checked by the
+        # state circuit against BeginTx's reads at call_id == rw_counter)
+        const_mask[b + 0] = True
+        const_val[b + 0] = tx.id          # TxId value
+        pair_mask[b + 2] = True           # IsPersistent == IsSuccess
+        pair_idx[b + 2] = b + 3
+        const_mask[b + 4] = True
+        const_val[b + 4] = 1              # Depth
+        for j, tt in ((5, TT.CallerAddress), (6, TT.CalleeAddress),
+                      (7, TT.CallDataLength), (8, TT.Value)):
+            tx_mask[b + j] = True
+            tx_tag[b + j] = int(tt)
+            tx_id[b + j] = tx.id
+        const_mask[b + 9] = True
+        const_val[b + 9] = 1              # IsRoot
+        hash_mask[b + 10] = True          # CodeHash in bytecode table
+    base = _N_SETUP_ROWS * len(witness.txs)
+    k = base
+    for setup in witness.subcall_setups:
+        for callee_id, tag, _value in setup:
+            exp_addr[k] = int(tag)
+            exp_id[k] = callee_id
+            k += 1
+    for callee_id, addr, _byte in witness.memory_setups:
+        exp_key0[k] = int(Target.Memory)
+        exp_addr[k] = addr
+        exp_id[k] = callee_id
+        k += 1
+    # root-region ids: all 11 rows of tx i share the id of their own rows
+    for i in range(len(witness.txs)):
+        b = i * _N_SETUP_ROWS
+        exp_id[b:b + _N_SETUP_ROWS] = rows[b]["id"]
+
+    ctx = Ctx(np, K, "eager")
+    cols = {
+        "rw_counter": F.from_ints(ctx, [r["rw_counter"] for r in rows], 32),
+        "key0": F.from_ints(ctx, [r["key0"] for r in rows], 8),
+        "rw": F.from_ints(ctx, [r["rw"] for r in rows], 1),
+        "id": F.from_ints(ctx, [r["id"] for r in rows], 32),
+        "address": F.from_ints(ctx, [r["address"] for r in rows], 160),
+        "value": Word.from_ints(ctx, [r["value"] for r in rows]),
+    }
+    extra = {
+        "exp_key0": exp_key0, "exp_addr": exp_addr, "exp_id": exp_id,
+        "const_mask": const_mask, "const_val": const_val,
+        "tx_mask": tx_mask, "tx_tag": tx_tag, "tx_id": tx_id,
+        "pair_mask": pair_mask, "pair_idx": pair_idx,
+        "hash_mask": hash_mask,
+    }
+    # tables re-bound to the prologue batch ctx (engine.lookup broadcasts
+    # query fingerprints to the TABLE's ctx batch)
+    ktables = {"tx": tables.tx.to_backend(ctx),
+               "bytecode": tables.bytecode.to_backend(ctx)}
+    return cols, ktables, extra
+
+
+def check_prologue(ctx, cs, c, tables, static, extra):
+    """Constraint body of the prologue region (spec + jit alike)."""
+    from ..dsl.value import F, Word
+
+    xp = ctx.xp
+    n = ctx.batch
+    arange = F(ctx, xp.arange(1, n + 1, dtype=xp.uint32)[:, None], 32)
+    cs.constrain_equal(c["rw_counter"], arange, name="prologue rw_counter")
+    cs.constrain_equal(c["rw"], F.const(ctx, 1), name="prologue not a write")
+
+    key0 = F(ctx, xp.asarray(extra["exp_key0"]).astype(xp.uint32)[:, None], 8)
+    cs.constrain_equal(c["key0"], key0, name="prologue target")
+    addr = F(ctx, xp.asarray(extra["exp_addr"]).astype(xp.uint32)[:, None], 160)
+    cs.constrain_equal(c["address"], addr, name="prologue key")
+    cid = F(ctx, xp.asarray(extra["exp_id"]).astype(xp.uint32)[:, None], 32)
+    cs.constrain_equal(c["id"], cid, name="prologue call id")
+
+    m_const = xp.asarray(extra["const_mask"])
+    cv = F(ctx, xp.asarray(extra["const_val"]).astype(xp.uint32)[:, None], 64)
+    cs.check(~m_const | (c["value"].lo.eq_mask(cv) & c["value"].hi.is_zero_mask()),
+             lambda: "prologue const value mismatch")
+
+    m_pair = xp.asarray(extra["pair_mask"])
+    partner = c["value"].lo.gather(xp.asarray(extra["pair_idx"]))
+    cs.check(~m_pair | c["value"].lo.eq_mask(partner),
+             lambda: "prologue IsPersistent != IsSuccess")
+    cs.check(~m_pair | (c["value"].lo.is_zero_mask()
+                        | c["value"].lo.eq_mask(F.const(ctx, 1))),
+             lambda: "prologue IsPersistent not boolean")
+
+    m_tx = xp.asarray(extra["tx_mask"])
+    row = tables["tx"].lookup(cs, {
+        "tx_id": F(ctx, xp.asarray(extra["tx_id"]).astype(xp.uint32)[:, None], 32),
+        "field_tag": F(ctx, xp.asarray(extra["tx_tag"]).astype(xp.uint32)[:, None], 8),
+        "call_data_index_or_zero": F.const(ctx, 0),
+    }, enabled=m_tx)
+    cs.check(~m_tx | (c["value"].lo.eq_mask(row.value.lo)
+                      & c["value"].hi.eq_mask(row.value.hi)),
+             lambda: "prologue value != tx table")
+
+    m_hash = xp.asarray(extra["hash_mask"])
+    tables["bytecode"].lookup(cs, {
+        "bytecode_hash": c["value"],
+        "field_tag": F.const(ctx, int(static["header_tag"])),
+        "index": F.const(ctx, 0),
+    }, enabled=m_hash)
+
+
+def prologue_kernel(witness: BlockWitness, tables: Tables):
+    """Compiled in-circuit prologue check for CompiledBlockVerifier."""
+    from ..runtime.kernels import CircuitKernel
+
+    from ..tables.schemas import BytecodeFieldTag
+
+    cols, ktables, extra = build_prologue_inputs(witness, tables)
+    return CircuitKernel("prologue", check_prologue, cols, ktables,
+                         {"header_tag": int(BytecodeFieldTag.Header)}, extra)
 
 
 def verify_prologue(witness: BlockWitness) -> None:

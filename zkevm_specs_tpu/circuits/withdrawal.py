@@ -238,8 +238,8 @@ def withdrawals2witness(withdrawals, MAX_WITHDRAWALS: int, keccak_randomness: in
         rows.append(Row(wd.id, wd.validator_id, wd.address, wd.amount, h, root))
         root_prev = root
 
-    final_root = rows[-1].root
-    block = list(block_rows) + [
-        {"field_tag": int(BlockContextFieldTag.WithdrawalRoot), "value": final_root}
-    ]
-    return Witness(rows, mpt_rows, keccak_rows, block)
+    # the block table is the PUBLIC side: the final chained root must match
+    # the block's own WithdrawalRoot row (injecting a matching row here
+    # would make the reference's final-root constraint vacuous,
+    # withdrawal_circuit.py:195-201)
+    return Witness(rows, mpt_rows, keccak_rows, list(block_rows))

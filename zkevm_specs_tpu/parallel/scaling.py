@@ -175,11 +175,17 @@ def measure_logup_scaling(rows_per_device: int = 8192,
 
 
 def main():
+    import os
     from pathlib import Path
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    # honor JAX_PLATFORMS so the same entry point measures real slices; only
+    # force the virtual-CPU mesh when the caller asked for cpu (the axon hook
+    # overrides the env var at interpreter start, so re-apply it here)
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        jax.config.update("jax_platforms", want)
     cache = Path(__file__).resolve().parent.parent.parent / ".jax_cache"
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -119,7 +119,12 @@ class CompiledBlockVerifier:
         config = config or DEFAULT_CONFIG
         keccak_randomness = (config.keccak_randomness if keccak_randomness is None
                              else keccak_randomness)
-        k_bytecode = config.bytecode_k if k_bytecode is None else k_bytecode
+        if k_bytecode is None:
+            # grow k to fit the block's unrolled bytecodes (config.bytecode_k
+            # is the floor; the circuit needs 2^k > total rows incl. the
+            # trailing Header)
+            n_rows = sum(len(bc.code) + 1 for bc in witness.bytecodes) + 1
+            k_bytecode = max(config.bytecode_k, n_rows.bit_length())
         if signed_txs is not None and tx_circuit_params is None:
             tx_circuit_params = config.tx_circuit_params()
 
@@ -146,6 +151,8 @@ class CompiledBlockVerifier:
 
             kwargs["ecc_table"] = ecc_table_rows(witness.ecc_circuit,
                                                  keccak_randomness)
+        if getattr(witness, "sig_rows", None):
+            kwargs["sig_table"] = [r.table_row() for r in witness.sig_rows]
         kwargs["keccak_table"] = keccak_rows
         self.tables = Tables(**kwargs)
 
@@ -154,15 +161,17 @@ class CompiledBlockVerifier:
         from ..circuits.copy import copy_kernel
         from ..circuits.exp import exp_kernel
         from ..circuits.keccak import keccak_kernel
-        from ..circuits.super_circuit import verify_prologue
-
-        verify_prologue(witness)  # host: pins the rw prologue + first step
+        from ..circuits.super_circuit import prologue_kernel
 
         self.circuit_kernels: List[Tuple[str, object]] = []
 
         def add_kernel(name, k):
             if k is not None:
                 self.circuit_kernels.append((name, k))
+
+        # in-circuit prologue: pins rw counters 1..K to the canonical setup
+        # writes and binds root values to the tx/bytecode tables
+        add_kernel("prologue", prologue_kernel(witness, self.tables))
 
         bc_rows = assign_bytecode_circuit(
             k_bytecode, [unroll(c) for c in codes], keccak_randomness)
@@ -191,22 +200,35 @@ class CompiledBlockVerifier:
             from ..circuits.ecc import ecc_kernel
 
             add_kernel("ecc", ecc_kernel(witness.ecc_circuit, keccak_randomness))
-        if witness.withdrawals:
-            from ..circuits.pi import pi_kernel, public_data2witness
-            from ..circuits.super_circuit import public_data_from_witness
-            from ..circuits.withdrawal import withdrawal_kernel, withdrawals2witness
+        if getattr(witness, "sig_rows", None):
+            # sig rows from traced ecRecover precompile calls
+            from ..circuits.sig import KeccakTable as SigKeccakTable
+            from ..circuits.sig import Witness as SigWitness, sig_kernel
+            from ..ops.ecc import secp256k1
 
-            n_wd = len(witness.withdrawals)
-            wd_witness = withdrawals2witness(witness.withdrawals, n_wd,
-                                             keccak_randomness,
-                                             kwargs["block_table"])
-            add_kernel("withdrawal", withdrawal_kernel(wd_witness, n_wd,
-                                                       keccak_randomness))
-            max_txs = len(witness.txs)
-            max_calldata = max(1, sum(len(tx.call_data) for tx in witness.txs))
-            pd = public_data_from_witness(witness, n_wd)
-            pi_witness = public_data2witness(pd, max_txs, max_calldata, n_wd)
-            add_kernel("pi", pi_kernel(pi_witness, max_txs, max_calldata, n_wd))
+            kt = SigKeccakTable()
+            for r in witness.sig_rows:
+                kt.add(secp256k1.pubkey_bytes(r.pub_key), keccak_randomness)
+            add_kernel("sig_trace", sig_kernel(
+                SigWitness(list(witness.sig_rows), kt), keccak_randomness))
+        # pi + withdrawal run for EVERY block (reference pi_circuit.py:338
+        # commits all public data unconditionally; one padding slot when the
+        # block has no withdrawals)
+        from ..circuits.pi import pi_kernel, public_data2witness
+        from ..circuits.super_circuit import public_data_from_witness
+        from ..circuits.withdrawal import withdrawal_kernel, withdrawals2witness
+
+        n_wd = max(1, len(witness.withdrawals))
+        wd_witness = withdrawals2witness(witness.withdrawals, n_wd,
+                                         keccak_randomness,
+                                         kwargs["block_table"])
+        add_kernel("withdrawal", withdrawal_kernel(wd_witness, n_wd,
+                                                   keccak_randomness))
+        max_txs = len(witness.txs)
+        max_calldata = max(1, sum(len(tx.call_data) for tx in witness.txs))
+        pd = public_data_from_witness(witness, n_wd)
+        pi_witness = public_data2witness(pd, max_txs, max_calldata, n_wd)
+        add_kernel("pi", pi_kernel(pi_witness, max_txs, max_calldata, n_wd))
 
         steps = list(witness.steps)
         if end_with_last_step:

@@ -269,15 +269,19 @@ class Table:
             # kernel can replay this lookup as a single gather
             cs.hint_record.append({"idx": np.asarray(first_row, dtype=np.int32)})
             cs.hint_bits.append("lookup_idx")
+        rows_out = self._gather_rows(first_row)
         if ctx.eager and getattr(cs, "lookup_log", None) is not None:
-            # distributed-lookup instrumentation: record which table rows
-            # this batched lookup resolved to (tables/logup.py consumes this
-            # to build the sharded logUp argument)
+            # distributed-lookup instrumentation: record the resolved row
+            # index AND the resolved row values this constraint actually
+            # consumed — the logUp query side is fingerprinted from these
+            # values (NOT from the table), so a corrupted table shard cannot
+            # satisfy the sharded identity (parallel/logup_shard.py)
             en = (np.ones((ctx.batch,), dtype=bool) if enabled is None
                   else np.asarray(enabled))
             cs.lookup_log.append(
-                (self.schema.name, np.asarray(first_row, dtype=np.int64), en))
-        return self._gather_rows(first_row)
+                (self.schema.name, np.asarray(first_row, dtype=np.int64), en,
+                 rows_out))
+        return rows_out
 
     def to_backend(self, ctx: Ctx) -> "Table":
         """Re-materialize the table (and its built indexes) on another array
