@@ -218,11 +218,15 @@ def test_block_conformance_mega():
 
 # -- full mega block: >=75 of the 83 registered states -----------------------
 
-def mega_full_witness():
+def mega_full_witness(small_pi: bool = False):
     """Three-tx block covering the success states, the reachable error
     family, reverting frames, CREATE/CREATE2 and the precompiles — the
     widest coherent witness the tracer can produce (>= 75 of 83 registered
-    execution states) plus withdrawals."""
+    execution states) plus withdrawals.
+
+    ``small_pi``: carry 1 history hash instead of 256 — the CPU jit path's
+    LLVM codegen cannot hold the full 256-hash pi program in memory (the
+    spec-mode mega keeps the full block table)."""
     from zkevm_specs_tpu.ops.ecc import bn254, secp256k1
     from zkevm_specs_tpu.ops.keccak import keccak256
     from zkevm_specs_tpu.witness.typing import Withdrawal
@@ -335,8 +339,9 @@ def mega_full_witness():
        .push3(0xFFFFF).call().pop()
     bc3.stop()
 
-    block = Block(base_fee=int(1e9), number=256,
-                  history_hashes=[0x1000 + i for i in range(256)])
+    n_hist = 1 if small_pi else 256
+    block = Block(base_fee=int(1e9), number=n_hist,
+                  history_hashes=[0x1000 + i for i in range(n_hist)])
     txs = [
         (Transaction(id=1, gas=2000000, gas_price=int(2e9), caller_address=0xFE,
                      callee_address=0xFF, value=10, call_data=bytes(range(1, 33))), bc1),

@@ -172,3 +172,88 @@ def test_block_create_in_subcall():
     w = _trace(root, accounts)
     assert ExecutionState.CREATE in {s.execution_state for s in w.steps}
     verify_super_circuit(w)
+
+
+def test_block_create_with_value():
+    """CREATE transferring value into the new contract (reversible pair
+    bound to the initcode frame)."""
+    bc = Bytecode()
+    size = _store_initcode(bc, self_replicating_initcode())
+    bc.push1(size).push1(0).push1(0x45).create().pop().stop()
+    accounts = {0xFF: Account(address=0xFF, balance=1000)}
+    w = _trace(bc, accounts)
+    verify_super_circuit(w)
+
+
+def test_block_create2_reverting_initcode():
+    bc = Bytecode()
+    size = _store_initcode(bc, reverting_initcode())
+    bc.push1(0x99).push1(size).push1(0).push1(0).create2().pop().stop()
+    w = _trace(bc)
+    states = {s.execution_state for s in w.steps}
+    assert ExecutionState.CREATE2 in states
+    verify_super_circuit(w)
+
+
+def test_block_create_nonce_overflow():
+    """Deployer nonce at u64 max fails the precheck (create.py:82)."""
+    bc = Bytecode()
+    size = _store_initcode(bc, self_replicating_initcode())
+    bc.push1(size).push1(0).push1(0).create().pop().stop()
+    # deployer for a root-frame CREATE is the tx sender 0xFE
+    accounts = {0xFE: Account(address=0xFE, nonce=(1 << 64) - 2,
+                              balance=10**22)}
+    # BeginTx bumps the sender nonce, landing exactly at the limit
+    w = trace_block(Block(base_fee=int(1e9)),
+                    [(Transaction(id=1, gas=2000000, gas_price=int(2e9),
+                                  caller_address=0xFE, callee_address=0xFF,
+                                  nonce=(1 << 64) - 2), bc)],
+                    accounts=accounts)
+    verify_super_circuit(w)
+
+
+def test_block_create_then_call_then_create2_chain():
+    """CREATE a contract, CALL it, then CREATE2 another — interleaved
+    deployment and execution in one tx."""
+    bc = Bytecode()
+    size = _store_initcode(bc, self_replicating_initcode())
+    bc.push1(size).push1(0).push1(0).create().pop()
+    addr = create_address(0xFE, 2)
+    bc.push1(0).push1(0).push1(0).push1(0).push1(0).push32(addr) \
+      .push2(0xFFFF).call().pop()
+    bc.push1(0xAB).push1(size).push1(0).push1(0).create2().pop()
+    bc.stop()
+    w = _trace(bc)
+    verify_super_circuit(w)
+
+
+def test_block_create_corrupt_address_push_rejected():
+    """The pushed CREATE result must equal is_success * derived address."""
+    bc = Bytecode()
+    size = _store_initcode(bc, self_replicating_initcode())
+    bc.push1(size).push1(0).push1(0).create().pop().stop()
+    w = _trace(bc)
+    addr = create_address(0xFE, 2)
+    corrupted = False
+    for r in w.rw.rws:
+        if (r["key0"] == int(Target.Stack) and r["rw"] == 1
+                and r["value"] == addr):
+            r["value"] = addr + 1
+            corrupted = True
+            break
+    assert corrupted, "CREATE result stack write not found"
+    with pytest.raises(AssertionError):
+        verify_super_circuit(w)
+
+
+def test_block_create_corrupt_initcode_copy_rejected():
+    bc = Bytecode()
+    size = _store_initcode(bc, self_replicating_initcode())
+    bc.push1(size).push1(0).push1(0).create().pop().stop()
+    w = _trace(bc)
+    for row in w.copy_circuit.rows:
+        if row["tag"] == 1:  # Bytecode dst side of the initcode copy
+            row["value"] ^= 1
+            break
+    with pytest.raises(AssertionError):
+        verify_super_circuit(w)

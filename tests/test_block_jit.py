@@ -108,15 +108,25 @@ def test_block_jit_mega_full():
     """The 76-state mega block (reverts, error halts, CREATE/CREATE2,
     precompiles) through CompiledBlockVerifier: forces the copy/exp/ecc/
     sig_trace kernels to execute in production mode alongside the always-on
-    bytecode/keccak/withdrawal/pi kernels."""
+    prologue/bytecode/keccak/withdrawal/pi kernels."""
+    import jax
+
     from test_block_conformance import mega_full_witness
 
-    w = mega_full_witness()
-    bv = CompiledBlockVerifier(w)
-    names = {n for n, _ in bv.circuit_kernels}
-    assert {"bytecode", "keccak", "copy", "exp", "ecc", "sig_trace",
-            "withdrawal", "pi"} <= names, names
-    bv.verify()
+    # jaxlib's persistent-cache WRITE segfaults serializing this block's
+    # largest CPU executables (jax compilation_cache.put_executable_and_time
+    # on the AOT export path); disable the on-disk cache for this test only
+    cache_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        w = mega_full_witness(small_pi=True)
+        bv = CompiledBlockVerifier(w)
+        names = {n for n, _ in bv.circuit_kernels}
+        assert {"prologue", "bytecode", "keccak", "copy", "exp", "ecc",
+                "sig_trace", "withdrawal", "pi"} <= names, names
+        bv.verify()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
 
 
 def _mini_revert_witness():
@@ -132,8 +142,11 @@ def test_block_jit_revert_and_corrupt_mirror():
     reversion mirror row is caught by the compiled state circuit."""
     w = _mini_revert_witness()
     CompiledBlockVerifier(w).verify()
+    from zkevm_specs_tpu.tables.schemas import Target
+
     w2 = _mini_revert_witness()
-    mirrors = [r for r in w2.rw.rws if r["key0"] == 4 and r["rw"] == 1]
+    mirrors = [r for r in w2.rw.rws
+               if r["key0"] == int(Target.AccountStorage) and r["rw"] == 1]
     mirrors.sort(key=lambda r: r["rw_counter"])
     mirrors[-1]["value"] = 99
     with pytest.raises(AssertionError):
@@ -250,8 +263,14 @@ def test_block_jit_corrupt_tx_sig_kernels():
     signed = [sign_tx(7, SignedTx(nonce=0, gas_price=int(2e9), gas=100000,
                                   to=0xFF, value=0, data=b"", sig_v=0,
                                   sig_r=0, sig_s=0), 1337)]
+    from zkevm_specs_tpu.tables.schemas import TxContextFieldTag
+
     tx_witness = txs2witness(signed, 1337, 2, 8, 0x100)
-    tx_witness.rows[0]["value"] += 1  # nonce row corrupted
+    for i, row in enumerate(tx_witness.rows):
+        if row.tag == int(TxContextFieldTag.CallerAddress):
+            # the caller address is bound to the recovered signer
+            tx_witness.rows[i] = row._replace(value=row.value + 1)
+            break
     k = tx_kernel(tx_witness, 2, 0x100)
     assert np.asarray(k(k.device_args())).any()
 

@@ -326,3 +326,44 @@ def test_block_oog_call():
           .push2(0xFF).call()
     accounts = {0x6000: Account(address=0x6000, code=inner)}
     _error_block(callee, 150, ExecutionState.ErrorOutOfGasCall, accounts)
+
+
+# -- copy-edge sweeps (out-of-bound / zero-length, reference
+# tests/evm/test_calldatacopy.py cartesian style) ----------------------------
+
+@pytest.mark.parametrize("data_offset,length", [
+    (0, 0),      # zero-length
+    (0, 8),      # in-bounds
+    (28, 16),    # straddles the calldata end (pad reads)
+    (64, 8),     # fully out of bounds (all pad)
+])
+def test_block_calldatacopy_edges(data_offset, length):
+    bc = (Bytecode()
+          .push1(length).push1(data_offset).push1(0).calldatacopy().stop())
+    w = _trace_cd(bc, call_data=bytes(range(1, 33)))
+    verify_super_circuit(w)
+
+
+@pytest.mark.parametrize("code_offset,length", [(0, 4), (2, 64), (200, 8), (0, 0)])
+def test_block_codecopy_edges(code_offset, length):
+    bc = (Bytecode()
+          .push1(length).push1(code_offset).push1(0).codecopy().stop())
+    w = _trace(bc)
+    verify_super_circuit(w)
+
+
+def test_block_returndatacopy_exact_bound():
+    """RETURNDATACOPY of exactly the full return buffer (no error)."""
+    returning = Bytecode().push1(0x7F).push1(0).mstore8().push1(1).push1(0).return_()
+    caller = Bytecode()
+    caller.push1(1).push1(0).push1(0).push1(0).push2(0x6000) \
+          .push2(0xFFFF).staticcall().pop()
+    caller.push1(1).push1(0).push1(0x40).returndatacopy().stop()
+    accounts = {0x6000: Account(address=0x6000, code=returning)}
+    w = _trace(caller, accounts)
+    verify_super_circuit(w)
+
+
+def _trace_cd(bc, call_data):
+    return trace_block(Block(base_fee=int(1e9)),
+                       [(_tx(call_data=call_data), bc)])

@@ -73,9 +73,13 @@ class ShardedBlockVerifier:
         failures: Dict[int, bool] = {}
         axis = self.axes if len(self.axes) > 1 else self.axes[0]
         for g in self.inner.groups:
-            curr, nxt = self._pad_group(g)
-            fail = np.asarray(shard_evm_group(g["verifier"], curr, nxt,
-                                              self.mesh, axis=axis))
+            if g["verifier"] is None:
+                # tiny eager-scheduled subgroup (runtime/block.py policy)
+                fail = self.inner._run_eager_group(g)
+            else:
+                curr, nxt = self._pad_group(g)
+                fail = np.asarray(shard_evm_group(g["verifier"], curr, nxt,
+                                                  self.mesh, axis=axis))
             for lane, i in enumerate(g["idxs"]):
                 if fail[lane]:
                     failures[i] = True

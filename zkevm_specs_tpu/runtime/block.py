@@ -112,6 +112,7 @@ class CompiledBlockVerifier:
         tx_circuit_params: Optional[Tuple[int, int, int]] = None,
         k_bytecode: Optional[int] = None,
         config=None,
+        min_jit_lanes: int = 4,
     ):
         from ..config import DEFAULT_CONFIG
         from ..runtime.jit import CompiledGroupVerifier
@@ -125,8 +126,6 @@ class CompiledBlockVerifier:
             # trailing Header)
             n_rows = sum(len(bc.code) + 1 for bc in witness.bytecodes) + 1
             k_bytecode = max(config.bytecode_k, n_rows.bit_length())
-        if signed_txs is not None and tx_circuit_params is None:
-            tx_circuit_params = config.tx_circuit_params()
 
         self.witness = witness
         codes = [bytes(bc.code) for bc in witness.bytecodes]
@@ -136,6 +135,9 @@ class CompiledBlockVerifier:
         copy_circuit = copy_circuit if copy_circuit is not None else witness.copy_circuit
         exp_circuit = exp_circuit if exp_circuit is not None else witness.exp_circuit
         signed_txs = signed_txs if signed_txs is not None else witness.signed_txs
+        if signed_txs is not None and tx_circuit_params is None:
+            # default params also when the signed txs ride on the witness
+            tx_circuit_params = config.tx_circuit_params()
 
         kwargs = witness.tables_kwargs()
         if copy_circuit is not None:
@@ -253,6 +255,23 @@ class CompiledBlockVerifier:
                                     is_last, idxs, [], parts)
             for sub_idxs, signature in parts:
                 n_real = len(sub_idxs)
+                # scheduler policy: only regular subgroups with enough lanes
+                # earn an XLA program — tiny irregular subgroups (1-lane
+                # CALL_OP signature variants etc.) verify eagerly on the
+                # host, which is both faster (compiling a 1-lane program
+                # costs orders of magnitude more than evaluating it) and
+                # bounds the number of live compiled executables (XLA:CPU's
+                # JIT code arena exhausts after ~70 large programs per
+                # process)
+                if n_real < min_jit_lanes:
+                    self.groups.append({
+                        "state": state, "is_first": is_first,
+                        "is_last": is_last, "idxs": sub_idxs,
+                        "curr": [steps[i] for i in sub_idxs],
+                        "next": [steps[i + 1] for i in sub_idxs],
+                        "signature": signature, "verifier": None,
+                    })
+                    continue
                 n_padded = _next_pow2(n_real) if pad_pow2 else n_real
                 padded = sub_idxs + [sub_idxs[0]] * (n_padded - n_real)
                 curr = [steps[i] for i in padded]
@@ -279,6 +298,9 @@ class CompiledBlockVerifier:
 
         prepared = []
         for g in self.groups:
+            if g["verifier"] is None:
+                prepared.append(None)  # eager-scheduled tiny subgroup
+                continue
             args = g["verifier"].prepare_inputs(g["curr"], g["next"])
             prepared.append(jax.device_put(args))
         cols, mpt_tree, meta = pack_state_inputs(self._state_rows, self._state_mpt)
@@ -297,7 +319,10 @@ class CompiledBlockVerifier:
         outs = []
         for g, args in zip(self.groups, prepared["groups"]):
             with STATS.timed(f"evm:{g['state'].name}"):
-                outs.append(g["verifier"](*args))
+                if g["verifier"] is None:
+                    outs.append(self._run_eager_group(g))
+                else:
+                    outs.append(g["verifier"](*args))
         with STATS.timed("state"):
             state_out = prepared["state_fn"](*prepared["state_args"])
         circuit_outs = []
@@ -330,6 +355,24 @@ class CompiledBlockVerifier:
                 f"block verification failed: steps {step_fails[:8]}, "
                 f"circuit rows {row_fails[:8]}")
 
+    def _run_eager_group(self, g) -> np.ndarray:
+        """Host evaluation of a tiny subgroup (same constraint body as the
+        compiled path; per-lane fail bits)."""
+        ctx = Ctx(np, len(g["idxs"]), "eager")
+        cs = ConstraintSystem(ctx)
+        cs.decisions = list(g["signature"])
+        curr = StepStateBatch(ctx, g["curr"], g["state"])
+        nxt = StepStateBatch(ctx, g["next"])
+        inst = Instruction(ctx, cs, self.tables.with_ctx(ctx), curr, nxt,
+                           g["is_first"], g["is_last"])
+        try:
+            verify_step(inst)
+        except LaneSplit:
+            raise AssertionError(
+                "signature replay diverged for an eager-scheduled subgroup")
+        return np.asarray(cs.fail)
+
     @property
     def n_constraints(self) -> int:
-        return sum(g["verifier"].n_constraints * len(g["idxs"]) for g in self.groups)
+        return sum(g["verifier"].n_constraints * len(g["idxs"])
+                   for g in self.groups if g["verifier"] is not None)
