@@ -289,6 +289,26 @@ def mega_full_witness(small_pi: bool = False):
     err_callees[0x6011] = (rdoob, 0xFFFF)
     err_callees[0x6012] = (ret1, 0xFFFF)
 
+    # initcode-halt errors: factories whose CREATE/initcode fails
+    def _factory(ic_bytes):
+        f = Bytecode()
+        data = bytes(ic_bytes.code)
+        for i in range(0, len(data), 32):
+            word = int.from_bytes(data[i:i + 32].ljust(32, b"\x00"), "big")
+            f.push32(word).push1(i).mstore()
+        f.push1(len(data)).push1(0).push1(0).create().pop()
+        return f
+
+    ic_bad_byte = Bytecode().push1(0xEF).push1(0).mstore8() \
+        .push1(1).push1(0).return_()
+    ic_self = Bytecode()
+    ic_self.push1(12).push1(0).push1(0).codecopy().push1(12).push1(0).return_()
+    ic_huge = Bytecode().push3(30000).push1(0).return_()
+    err_callees[0x6013] = (_factory(ic_bad_byte), 40000)
+    err_callees[0x6014] = (_factory(ic_huge), 40000)
+    err_callees[0x6015] = (_factory(ic_self), 34000)
+    err_callees[0x6016] = (_factory(ic_self), 32022)
+
     for addr, (code, gas_arg) in err_callees.items():
         if addr in (0x600F, 0x6012):
             continue  # inner helpers, called indirectly
@@ -358,7 +378,7 @@ def mega_full_witness(small_pi: bool = False):
 def test_block_conformance_mega_full():
     w = mega_full_witness()
     states = {s.execution_state for s in w.steps}
-    assert len(states) >= 75, (
+    assert len(states) >= 79, (
         f"only {len(states)} states touched; missing: "
         f"{sorted(s.name for s in set(ExecutionState) - states)}")
     assert w.tx_success == [True, True, True]

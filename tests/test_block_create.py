@@ -257,3 +257,72 @@ def test_block_create_corrupt_initcode_copy_rejected():
             break
     with pytest.raises(AssertionError):
         verify_super_circuit(w)
+
+
+# -- initcode-halt error states ----------------------------------------------
+
+def _factory_call(root, target, gas_arg=0xFFFF):
+    root.push1(0).push1(0).push1(0).push1(0).push1(0).push2(target) \
+        .push3(gas_arg).call().pop()
+    return root
+
+
+def test_block_error_invalid_creation_code():
+    """Initcode returning 0xEF as the first byte (EIP-3541)."""
+    ic = Bytecode().push1(0xEF).push1(0).mstore8().push1(1).push1(0).return_()
+    factory = Bytecode()
+    size = _store_initcode(factory, ic)
+    factory.push1(size).push1(0).push1(0).create().pop().stop()
+    root = _factory_call(Bytecode(), 0x5000, 0xFFFFF).stop()
+    accounts = {0x5000: Account(address=0x5000, code=factory)}
+    w = _trace(root, accounts)
+    assert ExecutionState.ErrorInvalidCreationCode in {
+        s.execution_state for s in w.steps}
+    verify_super_circuit(w)
+
+
+def test_block_error_max_code_size():
+    """Initcode returning more than MAX_CODE_SIZE bytes."""
+    ic = Bytecode().push3(30000).push1(0).return_()
+    factory = Bytecode()
+    size = _store_initcode(factory, ic)
+    factory.push1(size).push1(0).push1(0).create().pop().stop()
+    root = _factory_call(Bytecode(), 0x5000, 0x7FFFF).stop()
+    accounts = {0x5000: Account(address=0x5000, code=factory)}
+    w = _trace(root, accounts, gas=3000000)
+    assert ExecutionState.ErrorMaxCodeSizeExceeded in {
+        s.execution_state for s in w.steps}
+    verify_super_circuit(w)
+
+
+def test_block_error_oog_code_store():
+    """Initcode that can run but cannot afford the 200 gas/byte deposit."""
+    ic = self_replicating_initcode()
+    factory = Bytecode()
+    size = _store_initcode(factory, ic)
+    # the initcode needs ~24 gas to run; deposit needs 12*200 = 2400
+    factory.push1(size).push1(0).push1(0).create().pop().stop()
+    root = Bytecode()
+    # gas argument bounds the FACTORY, which then forwards all-but-1/64th
+    # to the initcode frame: pick it so the initcode gets ~33k-ish minus
+    # the factory's own spend, landing under the deposit cost
+    _factory_call(root, 0x5000, 34000).stop()
+    accounts = {0x5000: Account(address=0x5000, code=factory)}
+    w = _trace(root, accounts)
+    assert ExecutionState.ErrorOutOfGasCodeStore in {
+        s.execution_state for s in w.steps}
+    verify_super_circuit(w)
+
+
+def test_block_error_oog_create():
+    """CREATE in a subframe without gas for the static+initcode-word cost."""
+    factory = Bytecode()
+    size = _store_initcode(factory, self_replicating_initcode())
+    factory.push1(size).push1(0).push1(0).create()
+    # window: >= CREATE constant gas (32000) but < +initcode-word (2)
+    root = _factory_call(Bytecode(), 0x5000, 32022).stop()
+    accounts = {0x5000: Account(address=0x5000, code=factory)}
+    w = _trace(root, accounts)
+    assert ExecutionState.ErrorOutOfGasCREATE in {
+        s.execution_state for s in w.steps}
+    verify_super_circuit(w)

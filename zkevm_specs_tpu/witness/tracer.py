@@ -552,8 +552,24 @@ class _Tracer:
             if gas < GAS_COST_FASTEST + self._expansion_gas(st[-1], size):
                 return E.ErrorOutOfGasStaticMemoryExpansion
         elif op in (Opcode.RETURN, Opcode.REVERT):
-            if gas < self._expansion_gas(st[-1] if st[-2] else 0, st[-2]):
+            from ..utils.param import (
+                GAS_COST_CODE_DEPOSIT,
+                INVALID_FIRST_BYTE_CONTRACT_CODE,
+                MAX_CODE_SIZE,
+            )
+
+            offset, length = st[-1], st[-2]
+            exp_gas = self._expansion_gas(offset if length else 0, length)
+            if gas < exp_gas:
                 return E.ErrorOutOfGasDynamicMemoryExpansion
+            if op == Opcode.RETURN and self.is_create_frame:
+                if (length and self.memory.get(offset, 0)
+                        == INVALID_FIRST_BYTE_CONTRACT_CODE):
+                    return E.ErrorInvalidCreationCode
+                if length > MAX_CODE_SIZE:
+                    return E.ErrorMaxCodeSizeExceeded
+                if gas - exp_gas < length * GAS_COST_CODE_DEPOSIT:
+                    return E.ErrorOutOfGasCodeStore
         elif op in (Opcode.CALLDATACOPY, Opcode.CODECOPY, Opcode.EXTCODECOPY,
                     Opcode.RETURNDATACOPY):
             base = -2 if op == Opcode.EXTCODECOPY else -1
@@ -607,6 +623,24 @@ class _Tracer:
                     + self._expansion_gas(off if size else 0, size))
             if gas < need:
                 return E.ErrorOutOfGasSHA3
+        elif op in (Opcode.CREATE, Opcode.CREATE2) and not self.is_root:
+            from ..utils.param import (
+                GAS_COST_COPY_SHA3,
+                GAS_COST_CREATE,
+                GAS_COST_INITCODE_WORD,
+            )
+
+            offset, size = st[-2], st[-3]
+            words = (size + 31) // 32
+            need = (GAS_COST_CREATE
+                    + self._expansion_gas(offset if size else 0, size)
+                    + words * GAS_COST_INITCODE_WORD
+                    + (GAS_COST_COPY_SHA3 * words
+                       if op == Opcode.CREATE2 else 0))
+            if gas < need:
+                # (the gadget's root branch recomputes calldata gas from the
+                # tx table; the tracer only reaches this state in subframes)
+                return E.ErrorOutOfGasCREATE
         elif op in (Opcode.CALL, Opcode.CALLCODE, Opcode.DELEGATECALL,
                     Opcode.STATICCALL):
             has_val = op in (Opcode.CALL, Opcode.CALLCODE)
@@ -750,6 +784,16 @@ class _Tracer:
                                         self.tx_id, committed)
                 # the gadget's original-value hint rides the step aux
                 self.w.steps[-1].aux_data = committed
+        elif state == E.ErrorOutOfGasCREATE:
+            sread(1)
+            sread(2)
+            self.cc_read(CallContextFieldTag.IsRoot, 0)
+        elif state in (E.ErrorOutOfGasCodeStore, E.ErrorMaxCodeSizeExceeded):
+            sread(1)
+            self.cc_read(CallContextFieldTag.IsStatic, 0)
+        elif state == E.ErrorInvalidCreationCode:
+            offset = self.spop()
+            rw.memory_read(self.call_id, offset, self.memory.get(offset, 0))
         elif state == E.ErrorOutOfGasLOG:
             self.spop()
             self.spop()
