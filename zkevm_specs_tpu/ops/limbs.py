@@ -249,6 +249,19 @@ def mul(xp, a, b, out_n: int = None):
     hi = prod >> LIMB_BITS
     ncols = min(na + nb, out_n)
     batch = xp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    if xp is np:
+        # eager fast path: accumulate each diagonal with in-place slice
+        # adds — the pad-per-term variant below allocates 2*na temporaries
+        # per product, which dominated spec-mode profiles
+        cols = np.zeros(batch + (ncols,), dtype=DTYPE)
+        for i in range(na):
+            lo_n = min(nb, ncols - i)
+            if lo_n > 0:
+                cols[..., i:i + lo_n] += lo[..., i, :lo_n]
+            hi_n = min(nb, ncols - i - 1)
+            if hi_n > 0:
+                cols[..., i + 1:i + 1 + hi_n] += hi[..., i, :hi_n]
+        return carry_propagate(xp, cols, out_n)
     cols = xp.zeros(batch + (ncols,), dtype=DTYPE)
     for i in range(na):
         # lo parts land at column i+j, hi parts at i+j+1
