@@ -308,6 +308,7 @@ def mega_full_witness(small_pi: bool = False):
     err_callees[0x6014] = (_factory(ic_huge), 40000)
     err_callees[0x6015] = (_factory(ic_self), 34000)
     err_callees[0x6016] = (_factory(ic_self), 32022)
+    err_callees[0x6017] = (Bytecode().push32(1 << 65).mload(), 0xFFFF)
 
     for addr, (code, gas_arg) in err_callees.items():
         if addr in (0x600F, 0x6012):
@@ -378,7 +379,7 @@ def mega_full_witness(small_pi: bool = False):
 def test_block_conformance_mega_full():
     w = mega_full_witness()
     states = {s.execution_state for s in w.steps}
-    assert len(states) >= 79, (
+    assert len(states) >= 80, (
         f"only {len(states)} states touched; missing: "
         f"{sorted(s.name for s in set(ExecutionState) - states)}")
     assert w.tx_success == [True, True, True]

@@ -367,3 +367,17 @@ def test_block_returndatacopy_exact_bound():
 def _trace_cd(bc, call_data):
     return trace_block(Block(base_fee=int(1e9)),
                        [(_tx(call_data=call_data), bc)])
+
+
+def test_block_gas_uint_overflow():
+    """MLOAD at an offset whose memory size overflows u64 (in a subcall so
+    the gadget's calldata section is skipped)."""
+    callee = Bytecode().push32(1 << 65).mload()
+    caller = Bytecode()
+    _call(caller, 0x5000, gas=0xFFFF)
+    caller.stop()
+    accounts = {0x5000: Account(address=0x5000, code=callee)}
+    w = _trace(caller, accounts)
+    assert ExecutionState.ErrorGasUintOverflow in {s.execution_state
+                                                   for s in w.steps}
+    verify_super_circuit(w)

@@ -549,6 +549,9 @@ class _Tracer:
                 return E.ErrorOutOfGasAccountAccess
         elif op in (Opcode.MLOAD, Opcode.MSTORE, Opcode.MSTORE8):
             size = 1 if op == Opcode.MSTORE8 else 32
+            if st[-1] + size > (1 << 64) - 1:
+                # memory size overflows u64 (geth calcMemSize64WithUint)
+                return E.ErrorGasUintOverflow
             if gas < GAS_COST_FASTEST + self._expansion_gas(st[-1], size):
                 return E.ErrorOutOfGasStaticMemoryExpansion
         elif op in (Opcode.RETURN, Opcode.REVERT):
@@ -784,6 +787,19 @@ class _Tracer:
                                         self.tx_id, committed)
                 # the gadget's original-value hint rides the step aux
                 self.w.steps[-1].aux_data = committed
+        elif state == E.ErrorGasUintOverflow:
+            # gadget order (errors.py error_gas_uint_overflow): CallDataLength,
+            # TxId, IsRoot reads, then memory_size's stack pops; the tracer
+            # reaches this state via MLOAD/MSTORE/MSTORE8 with a u64-
+            # overflowing offset (non-root frames skip the calldata section)
+            assert not self.is_root, (
+                "tracer: root-frame gas-uint-overflow needs calldata lookups")
+            self.cc_read(CallContextFieldTag.CallDataLength, len(self.calldata))
+            self.cc_read(CallContextFieldTag.TxId, self.tx_id)
+            self.cc_read(CallContextFieldTag.IsRoot, 0)
+            self.spop()              # offset
+            if Opcode(raw) in (Opcode.MSTORE, Opcode.MSTORE8):
+                self.spop()          # value
         elif state == E.ErrorOutOfGasCREATE:
             sread(1)
             sread(2)
