@@ -479,13 +479,28 @@ def bench_super_jit_1m():
     t_build = time.time() - t0
     t0 = time.time()
     prepared = bv.prepare()
+    t_prepare_cold = time.time() - t0
+    # steady-state serving: same-shaped blocks reuse every compiled
+    # executable (group kernels, leaf unpacker); measure the warm prepare
+    t0 = time.time()
+    prepared = bv.prepare()
     t_prepare = time.time() - t0
-    failures = bv.run_device(prepared)  # warmup/compile
+    failures = bv.run_device(prepared)  # warmup/compile (per-kernel path)
     assert not failures, f"bench witness rejected: {failures}"
     n_iters = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.time()
     for _ in range(n_iters):
         failures = bv.run_device(prepared)
+    t_device_per_kernel = (time.time() - t0) / n_iters
+    assert not failures
+
+    # fused single-launch pass: one RTT instead of one per kernel
+    jfa = bv.make_combined(prepared)
+    failures = bv.run_device_combined(prepared, jfa)  # warmup/compile
+    assert not failures, f"combined pass rejected: {failures}"
+    t0 = time.time()
+    for _ in range(n_iters):
+        failures = bv.run_device_combined(prepared, jfa)
     t_device = (time.time() - t0) / n_iters
     assert not failures
     e2e = t_prepare + t_device
@@ -498,8 +513,10 @@ def bench_super_jit_1m():
             "gas_used": gas_used,
             "wall_s": round(e2e, 3),
             "device_s": round(t_device, 4),
+            "device_s_per_kernel_path": round(t_device_per_kernel, 4),
             "device_gas_per_s": round(gas_used / t_device, 1),
             "prepare_s": round(t_prepare, 3),
+            "prepare_cold_s": round(t_prepare_cold, 3),
             "build_s": round(t_build, 1),
             "trace_s": round(t_trace, 3),
             "steps": len(witness.steps),

@@ -287,3 +287,24 @@ def test_block_jit_corrupt_pi_kernel():
     w.block.coinbase += 1
     with pytest.raises(AssertionError):
         CompiledBlockVerifier(w).verify()
+
+
+def test_block_jit_combined_pass_matches():
+    """The fused single-launch device pass returns the same verdicts as
+    the per-kernel path, for both clean and corrupt witnesses."""
+    w = _block()
+    bv = CompiledBlockVerifier(w)
+    prepared = bv.prepare()
+    assert bv.run_device(prepared) == {}
+    assert bv.run_device_combined(prepared) == {}
+
+    w2 = _block()
+    for s in w2.steps:
+        if s.execution_state.name == "ADD":
+            s.gas_left += 1
+            break
+    bv2 = CompiledBlockVerifier(w2)
+    p2 = bv2.prepare()
+    f_per_kernel = bv2.run_device(p2)
+    f_combined = bv2.run_device_combined(p2)
+    assert f_per_kernel and f_per_kernel == f_combined

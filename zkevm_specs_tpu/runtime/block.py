@@ -53,6 +53,52 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+_UNPACK_CACHE: Dict[tuple, object] = {}
+
+
+def _ship_leaves(leaves: List[object]) -> List[object]:
+    """Ship many host arrays to the device as ONE buffer per dtype.
+
+    Remote backends (the axon TPU tunnel) charge a full round trip per
+    array in device_put — hundreds of small leaves cost seconds while the
+    actual bytes are ~MBs.  Concatenate per dtype on the host, upload the
+    few megabuffers, and slice them back apart with a jitted unpacker
+    (compiled once per static layout, cached): the outputs are ordinary
+    device arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    buffers: Dict[str, list] = {}
+    layout = []  # (dtype key, offset, shape) per leaf
+    for a in leaves:
+        a = np.asarray(a)
+        key = str(a.dtype)
+        parts = buffers.setdefault(key, [])
+        off = sum(p.size for p in parts)
+        layout.append((key, off, a.shape))
+        parts.append(a.ravel())
+    concat = {k: np.concatenate(v) for k, v in buffers.items()}
+
+    sig = tuple(layout) + tuple(sorted((k, v.size) for k, v in concat.items()))
+    fn = _UNPACK_CACHE.get(sig)
+    if fn is None:
+        lay = list(layout)
+
+        def unpack(bufs):
+            out = []
+            for key, off, shape in lay:
+                n = int(np.prod(shape)) if shape else 1
+                piece = jax.lax.dynamic_slice(bufs[key], (off,), (n,))
+                out.append(piece.reshape(shape))
+            return tuple(out)
+
+        fn = jax.jit(unpack)
+        _UNPACK_CACHE[sig] = fn
+    dev_bufs = {k: jax.device_put(v) for k, v in concat.items()}
+    return list(fn(dev_bufs))
+
+
 def _partition_by_signature(
     tables: Tables,
     steps: List[StepState],
@@ -293,22 +339,113 @@ class CompiledBlockVerifier:
 
     def prepare(self):
         """Host pass: hint regeneration for every group + state-circuit
-        packing + sub-circuit kernel inputs; ships everything to the device."""
+        packing + sub-circuit kernel inputs; ships everything to the device.
+
+        Uploads are deduplicated by host-array identity (every group's args
+        embed the SAME table pytree, whose leaves are shared numpy arrays)
+        and shipped in ONE batched device_put — on a remote TPU each
+        separate put pays a full round trip, which would otherwise dominate
+        the prepare pass (hundreds of leaves x link RTT)."""
         import jax
 
-        prepared = []
+        host_groups = []
         for g in self.groups:
             if g["verifier"] is None:
-                prepared.append(None)  # eager-scheduled tiny subgroup
+                host_groups.append(None)  # eager-scheduled tiny subgroup
                 continue
-            args = g["verifier"].prepare_inputs(g["curr"], g["next"])
-            prepared.append(jax.device_put(args))
+            host_groups.append(g["verifier"].prepare_inputs(g["curr"], g["next"]))
         cols, mpt_tree, meta = pack_state_inputs(self._state_rows, self._state_mpt)
         state_fn = jax.jit(make_state_check_fn(meta))
-        state_args = jax.device_put((cols, mpt_tree))
-        circuits = [(name, k, k.device_args()) for name, k in self.circuit_kernels]
+        host_state = (cols, mpt_tree)
+
+        host_circuits = [(name, k, k.args) for name, k in self.circuit_kernels]
+
+        unique: Dict[int, object] = {}
+
+        def collect(tree):
+            for leaf in jax.tree.leaves(tree):
+                unique.setdefault(id(leaf), leaf)
+
+        for args in host_groups:
+            if args is not None:
+                collect(args)
+        collect(host_state)
+        for _n, _k, args in host_circuits:
+            collect(args)
+        keys = list(unique)
+        dev_by_id = dict(zip(keys, _ship_leaves([unique[k] for k in keys])))
+
+        def remap(tree):
+            return jax.tree.map(lambda a: dev_by_id[id(a)], tree)
+
+        prepared = [None if args is None else remap(args)
+                    for args in host_groups]
+        state_args = remap(host_state)
+        circuits = [(name, k, remap(args)) for name, k, args in host_circuits]
         return {"groups": prepared, "state_fn": state_fn,
                 "state_args": state_args, "circuits": circuits}
+
+    def make_combined(self, prepared):
+        """Fuse every compiled check — all jit-scheduled EVM groups, the
+        state circuit and the producer-circuit kernels — into ONE jitted
+        program returning all verdict vectors.
+
+        On a remote TPU each separate kernel launch pays a link round trip
+        (~10-25 ms), so the per-kernel path's device time is launch-count
+        bound; one fused launch collapses it to a single RTT + compute.
+        The per-kernel path remains the default for CPU runs (one huge
+        XLA:CPU program stresses LLVM codegen memory) and for per-kernel
+        profiling."""
+        import jax
+
+        import jax.numpy as jnp
+
+        gfns = [g["verifier"]._jit.__wrapped__ for g in self.groups
+                if g["verifier"] is not None]
+        state_inner = prepared["state_fn"].__wrapped__
+        circ_inners = [k._jit.__wrapped__ for _n, k, _a in prepared["circuits"]]
+
+        def combined(group_args, state_args, circuit_args):
+            outs = [fn(*a) for fn, a in zip(gfns, group_args)]
+            outs.append(state_inner(*state_args))
+            outs += [fn(*a) for fn, a in zip(circ_inners, circuit_args)]
+            # one flat verdict vector: a single device->host transfer fetches
+            # every fail bit (separate fetches each pay the link RTT)
+            return jnp.concatenate([o.ravel().astype(jnp.uint8) for o in outs])
+
+        jfn = jax.jit(combined)
+        group_args = [a for a in prepared["groups"] if a is not None]
+        circuit_args = [a for _n, _k, a in prepared["circuits"]]
+        return jfn, (group_args, prepared["state_args"], circuit_args)
+
+    def run_device_combined(self, prepared, jfn_and_args=None):
+        """Single-launch, single-fetch device pass (see make_combined);
+        identical verdict semantics to run_device."""
+        if jfn_and_args is None:
+            jfn_and_args = self.make_combined(prepared)
+        jfn, args = jfn_and_args
+        flat = np.asarray(jfn(*args))
+        failures: Dict[object, bool] = {}
+        off = 0
+        for g in self.groups:
+            if g["verifier"] is None:
+                fail = self._run_eager_group(g)
+            else:
+                n = len(g["curr"])
+                fail = flat[off:off + n]
+                off += n
+            for lane, i in enumerate(g["idxs"]):
+                if fail[lane]:
+                    failures[i] = True
+        n_state = len(self._state_rows)
+        for r in np.nonzero(flat[off:off + n_state])[0]:
+            failures[("state", int(r))] = True
+        off += n_state
+        for name, k, _a in prepared["circuits"]:
+            for r in np.nonzero(flat[off:off + k.n])[0]:
+                failures[(name, int(r))] = True
+            off += k.n
+        return failures
 
     def run_device(self, prepared):
         """Device-only pass: every compiled kernel over its shipped inputs.
