@@ -358,6 +358,26 @@ def mega_full_witness(small_pi: bool = False):
        .push3(0xFFFFF).call().pop()
     bc3.push1(64).push1(0).push1(96).push2(b2).push1(0).push1(0x07) \
        .push3(0xFFFFF).call().pop()
+    # bn254 pairing: e(a*G1, b*G2) * e(-ab*G1, G2) == 1
+    a, b = 4, 9
+    pp1 = bn254.g1_mul(bn254.G1, a)
+    qq1 = bn254.g2_mul(bn254.G2, b)
+    pp2 = bn254.g1_mul(bn254.G1, (bn254.R - a * b) % bn254.R)
+    qq2 = bn254.G2
+    pair_cd = bytearray()
+    for (pt, q) in ((pp1, qq1), (pp2, qq2)):
+        pair_cd += pt[0].to_bytes(32, "big") + pt[1].to_bytes(32, "big")
+        # EVM order: x_c1, x_c0, y_c1, y_c0
+        pair_cd += q[0].c[1].to_bytes(32, "big") + q[0].c[0].to_bytes(32, "big")
+        pair_cd += q[1].c[1].to_bytes(32, "big") + q[1].c[0].to_bytes(32, "big")
+    b3 = 0x600
+    for i in range(0, 384, 32):
+        bc3.push32(int.from_bytes(pair_cd[i:i + 32], "big")).push2(b3 + i).mstore()
+    bc3.push1(32).push1(0).push2(384).push2(b3).push1(0).push1(0x08) \
+       .push3(0x3FFFF).call().pop()
+    # out-of-gas precompile: ecrecover with only 100 gas (needs 3000)
+    bc3.push1(0).push1(0).push1(0).push1(0).push1(0x01).push1(100) \
+       .staticcall().pop()
     bc3.stop()
 
     n_hist = 1 if small_pi else 256
@@ -377,10 +397,13 @@ def mega_full_witness(small_pi: bool = False):
 
 
 def test_block_conformance_mega_full():
+    from zkevm_specs_tpu.evm.execution import EXECUTION_STATE_IMPL
+
     w = mega_full_witness()
     states = {s.execution_state for s in w.steps}
-    assert len(states) >= 80, (
-        f"only {len(states)} states touched; missing: "
-        f"{sorted(s.name for s in set(ExecutionState) - states)}")
+    missing = set(EXECUTION_STATE_IMPL) - states
+    assert not missing, (
+        f"only {len(states)}/{len(EXECUTION_STATE_IMPL)} registered states "
+        f"touched; missing: {sorted(s.name for s in missing)}")
     assert w.tx_success == [True, True, True]
     verify_super_circuit(w)

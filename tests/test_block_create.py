@@ -14,7 +14,7 @@ from zkevm_specs_tpu.evm.execution_state import ExecutionState
 from zkevm_specs_tpu.ops.keccak import keccak256
 from zkevm_specs_tpu.tables.schemas import Target
 from zkevm_specs_tpu.witness.rlp import rlp_encode
-from zkevm_specs_tpu.witness.tracer import trace_block
+from zkevm_specs_tpu.witness.tracer import trace_block, tx_sender_address
 from zkevm_specs_tpu.witness.typing import Account, Block, Bytecode, Transaction
 
 
@@ -72,9 +72,9 @@ def test_block_create_success():
     size = _store_initcode(bc, self_replicating_initcode())
     bc.push1(size).push1(0).push1(0).create().pop()
     # deployer quirk: the gadget uses the frame's CallerAddress (the tx
-    # sender 0xFE) and the post-increment nonce (BeginTx bumped it to 1,
-    # CREATE bumps to 2)
-    addr = create_address(0xFE, 2)
+    # sender, now the key-derived address) and the post-increment nonce
+    # (BeginTx bumped it to 1, CREATE bumps to 2)
+    addr = create_address(tx_sender_address(1), 2)
     bc.push1(0).push1(0).push1(0).push1(0).push1(0).push32(addr) \
       .push2(0xFFFF).call().pop()
     bc.stop()
@@ -200,7 +200,8 @@ def test_block_create_nonce_overflow():
     bc = Bytecode()
     size = _store_initcode(bc, self_replicating_initcode())
     bc.push1(size).push1(0).push1(0).create().pop().stop()
-    # deployer for a root-frame CREATE is the tx sender 0xFE
+    # deployer for a root-frame CREATE is the tx sender (accounts pinned
+    # to the pre-signing 0xFE follow the sender to its real address)
     accounts = {0xFE: Account(address=0xFE, nonce=(1 << 64) - 2,
                               balance=10**22)}
     # BeginTx bumps the sender nonce, landing exactly at the limit
@@ -218,7 +219,7 @@ def test_block_create_then_call_then_create2_chain():
     bc = Bytecode()
     size = _store_initcode(bc, self_replicating_initcode())
     bc.push1(size).push1(0).push1(0).create().pop()
-    addr = create_address(0xFE, 2)
+    addr = create_address(tx_sender_address(1), 2)
     bc.push1(0).push1(0).push1(0).push1(0).push1(0).push32(addr) \
       .push2(0xFFFF).call().pop()
     bc.push1(0xAB).push1(size).push1(0).push1(0).create2().pop()
@@ -233,7 +234,7 @@ def test_block_create_corrupt_address_push_rejected():
     size = _store_initcode(bc, self_replicating_initcode())
     bc.push1(size).push1(0).push1(0).create().pop().stop()
     w = _trace(bc)
-    addr = create_address(0xFE, 2)
+    addr = create_address(tx_sender_address(1), 2)
     corrupted = False
     for r in w.rw.rws:
         if (r["key0"] == int(Target.Stack) and r["rw"] == 1

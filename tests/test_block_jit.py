@@ -69,26 +69,22 @@ def test_block_jit_padding_lanes_ignored():
 
 def _full_witness():
     """A block exercising every sub-circuit kernel: withdrawals (pi + wd),
-    signed txs (tx + sig), bytecode/keccak always."""
-    from zkevm_specs_tpu.circuits.tx import Transaction as SignedTx, sign_tx
+    signed txs (tx + sig, attached by default tracing), bytecode/keccak."""
     from zkevm_specs_tpu.witness.typing import Withdrawal
 
     bc = Bytecode().push1(1).push1(2).add().pop().stop()
     txs = [(Transaction(id=1, gas=100000, gas_price=int(2e9),
                         caller_address=0xFE, callee_address=0xFF), bc)]
     wds = [Withdrawal(0, 9, 0xABCD, 100), Withdrawal(1, 10, 0xABCE, 200)]
-    signed = [sign_tx(7, SignedTx(nonce=0, gas_price=int(2e9), gas=100000,
-                                  to=0xFF, value=0, data=b"", sig_v=0,
-                                  sig_r=0, sig_s=0), 1337)]
     w = trace_block(Block(base_fee=int(1e9)), txs, withdrawals=wds)
-    w.signed_txs = signed
-    return w, signed
+    assert w.signed_txs is not None  # tracer signs by default
+    return w, w.signed_txs
 
 
 def test_block_jit_all_subcircuits():
     w, signed = _full_witness()
-    verify_super_circuit(w, signed_txs=signed, tx_circuit_params=(2, 8, 1337))
-    bv = CompiledBlockVerifier(w, signed_txs=signed, tx_circuit_params=(2, 8, 1337))
+    verify_super_circuit(w)
+    bv = CompiledBlockVerifier(w)
     assert {n for n, _ in bv.circuit_kernels} == {
         "prologue", "bytecode", "keccak", "tx", "sig", "withdrawal", "pi"}
     bv.verify()
@@ -97,9 +93,32 @@ def test_block_jit_all_subcircuits():
 def test_block_jit_flags_corrupt_subcircuit():
     w, signed = _full_witness()
     w.withdrawals[1].amount = 0  # breaks pi's non-zero-amount rule
-    bv = CompiledBlockVerifier(w, signed_txs=signed, tx_circuit_params=(2, 8, 1337))
+    bv = CompiledBlockVerifier(w)
     with pytest.raises(AssertionError):
         bv.verify()
+
+
+def test_block_jit_corrupt_signature_rejected():
+    """A signature from the wrong key recovers a different sender, breaking
+    the tx circuit's EVM-table/recovered-signer binding (the block's most
+    expensive crypto must actually gate the verdict)."""
+    from zkevm_specs_tpu.circuits.tx import sign_tx
+
+    w, signed = _full_witness()
+    # re-sign tx 0 with a different (valid) key over the same payload
+    w.signed_txs[0] = sign_tx(0xBAD, signed[0], w.chain_id)
+    bv = CompiledBlockVerifier(w)
+    with pytest.raises(AssertionError):
+        bv.verify()
+
+
+def test_block_spec_corrupt_signature_rejected():
+    from zkevm_specs_tpu.circuits.tx import sign_tx
+
+    w, signed = _full_witness()
+    w.signed_txs[0] = sign_tx(0xBAD, signed[0], w.chain_id)
+    with pytest.raises(AssertionError):
+        verify_super_circuit(w)
 
 
 # -- full mega block through the production path -----------------------------

@@ -200,8 +200,14 @@ def verify_super_circuit(
         # the floor; the circuit needs 2^k > total rows incl. trailing Header)
         n_rows = sum(len(bc.code) + 1 for bc in witness.bytecodes) + 1
         k_bytecode = max(config.bytecode_k, n_rows.bit_length())
+    if signed_txs is None:
+        signed_txs = witness.signed_txs
     if signed_txs is not None and tx_circuit_params is None:
-        tx_circuit_params = config.tx_circuit_params()
+        # default params scale to the block (config values are floors)
+        max_txs, max_cd, chain_id = config.tx_circuit_params()
+        tx_circuit_params = (max(max_txs, len(signed_txs)),
+                             max(max_cd, sum(len(t.data) for t in signed_txs)),
+                             chain_id)
     # shared keccak table covers all bytecode hashes
     codes = [bytes(bc.code) for bc in witness.bytecodes]
     # the shared keccak table covers bytecode hashes plus any SHA3 preimages
@@ -272,7 +278,8 @@ def verify_super_circuit(
         max_txs, max_calldata, chain_id = tx_circuit_params
         tx_witness = txs2witness(signed_txs, chain_id, max_txs, max_calldata,
                                  keccak_randomness)
-        verify_tx_circuit(tx_witness, max_txs, max_calldata, keccak_randomness)
+        verify_tx_circuit(tx_witness, max_txs, max_calldata, keccak_randomness,
+                          evm_callers=[tx.caller_address for tx in witness.txs])
         verify_sig_circuit(sig_witness_from_txs(signed_txs, chain_id,
                                                 keccak_randomness),
                            keccak_randomness)

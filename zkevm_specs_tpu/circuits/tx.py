@@ -64,9 +64,16 @@ class Witness(NamedTuple):
     sign_verifications: List[SignVerifyChip]
 
 
-def _tx_inputs(witness: Witness, MAX_TXS: int, ctx: Ctx):
+def _tx_inputs(witness: Witness, MAX_TXS: int, ctx: Ctx,
+               evm_callers: Optional[List[int]] = None):
     """Columns + host-crypto hints for ``check_tx`` (one lane per tx slot,
-    reference tx_circuit.py:253-291 layout)."""
+    reference tx_circuit.py:253-291 layout).
+
+    ``evm_callers``: the CallerAddress values of the block's EVM-side tx
+    table.  When given, ``check_tx`` binds them to the recovered addresses —
+    the produced-table/consumed-table link of the super circuit (reference
+    specs/tx-proof.md: the tx circuit PRODUCES the tx table the EVM circuit
+    consumes, so the sender the EVM executed must be the recovered signer)."""
     rows = witness.rows
     chips = witness.sign_verifications
     cols, extra = build_signverify_inputs(
@@ -88,6 +95,9 @@ def _tx_inputs(witness: Witness, MAX_TXS: int, ctx: Ctx):
     cols["caller_addr_value"] = F.from_ints(ctx, caller_values, 160)
     cols["tx_sign_hash_value"] = Word.from_ints(ctx, hash_values)
     cols["msg_hash"] = Word.from_ints(ctx, chip_hashes)
+    if evm_callers is not None:
+        padded = list(evm_callers) + [0] * (MAX_TXS - len(evm_callers))
+        cols["evm_caller_addr"] = F.from_ints(ctx, padded, 160)
     return cols, extra
 
 
@@ -100,26 +110,33 @@ def check_tx(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
                        "tx caller address vs recovered address")
     cs.constrain_equal_word(cols["tx_sign_hash_value"], cols["msg_hash"],
                             "tx sign hash vs signed message hash")
+    if "evm_caller_addr" in cols:
+        # block-level binding: the EVM circuit's tx-table sender IS the
+        # recovered signer (padding slots are 0 on both sides)
+        cs.constrain_equal(cols["evm_caller_addr"], cols["recovered_addr"],
+                           "EVM tx-table caller vs recovered signer")
 
 
 def verify_circuit(witness: Witness, MAX_TXS: int, MAX_CALLDATA_BYTES: int,
-                   keccak_randomness: int, success: bool = True) -> None:
+                   keccak_randomness: int, success: bool = True,
+                   evm_callers: Optional[List[int]] = None) -> None:
     """Spec-mode (eager) driver with reference verdict semantics."""
     from ..runtime.kernels import run_spec
 
     ctx = Ctx(np, MAX_TXS, "eager")
-    cols, extra = _tx_inputs(witness, MAX_TXS, ctx)
+    cols, extra = _tx_inputs(witness, MAX_TXS, ctx, evm_callers)
     keccak = Table.from_rows(ctx, KECCAK_SCHEMA, witness.keccak_table.rows())
     run_spec("tx", check_tx, cols, {"keccak": keccak},
              {"r": keccak_randomness}, extra, success=success, label="tx")
 
 
-def tx_kernel(witness: Witness, MAX_TXS: int, keccak_randomness: int):
+def tx_kernel(witness: Witness, MAX_TXS: int, keccak_randomness: int,
+              evm_callers: Optional[List[int]] = None):
     """Production path: the same constraint body compiled to one XLA kernel."""
     from ..runtime.kernels import CircuitKernel
 
     ctx = Ctx(np, MAX_TXS, "eager")
-    cols, extra = _tx_inputs(witness, MAX_TXS, ctx)
+    cols, extra = _tx_inputs(witness, MAX_TXS, ctx, evm_callers)
     keccak = Table.from_rows(ctx, KECCAK_SCHEMA, witness.keccak_table.rows())
     keccak.index_for(tuple(KECCAK_SCHEMA.columns))
     return CircuitKernel("tx", check_tx, cols, {"keccak": keccak},

@@ -14,7 +14,7 @@ from ...utils.param import (
     N_BYTES_MEMORY_WORD_SIZE,
     N_BYTES_STACK,
 )
-from ..execution_state import precompile_execution_states
+from ..execution_state import ExecutionState, precompile_execution_states
 from ..gadgets.call_gadget import CallGadget
 from ..gadgets.precompile_gadget import PrecompileGadget
 from ..instruction import Instruction, Transition
@@ -105,7 +105,12 @@ def callop(instruction: Instruction):
 
     is_precompile = instruction.precompile(call.callee_address)
     next_is_precompile_state = instruction.fq(0)
-    for s in precompile_execution_states():
+    # DEVIATION: the reference omits ErrorOutOfGasPrecompile from the allowed
+    # next states (callop.py:122 + execution_state.py:403-414), leaving its
+    # own error gadget unreachable from a call; including it makes an
+    # out-of-gas precompile call provable at block level
+    for s in list(precompile_execution_states()) + [
+            ExecutionState.ErrorOutOfGasPrecompile]:
         next_is_precompile_state = next_is_precompile_state + instruction.is_equal(
             instruction.next.execution_state, int(s)
         )

@@ -182,8 +182,12 @@ class CompiledBlockVerifier:
         exp_circuit = exp_circuit if exp_circuit is not None else witness.exp_circuit
         signed_txs = signed_txs if signed_txs is not None else witness.signed_txs
         if signed_txs is not None and tx_circuit_params is None:
-            # default params also when the signed txs ride on the witness
-            tx_circuit_params = config.tx_circuit_params()
+            # default params scale to the block (config values are floors)
+            max_txs, max_cd, chain_id = config.tx_circuit_params()
+            tx_circuit_params = (
+                max(max_txs, len(signed_txs)),
+                max(max_cd, sum(len(t.data) for t in signed_txs)),
+                chain_id)
 
         kwargs = witness.tables_kwargs()
         if copy_circuit is not None:
@@ -240,7 +244,9 @@ class CompiledBlockVerifier:
             max_txs, max_calldata, chain_id = tx_circuit_params
             tx_witness = txs2witness(signed_txs, chain_id, max_txs,
                                      max_calldata, keccak_randomness)
-            add_kernel("tx", tx_kernel(tx_witness, max_txs, keccak_randomness))
+            add_kernel("tx", tx_kernel(
+                tx_witness, max_txs, keccak_randomness,
+                evm_callers=[tx.caller_address for tx in witness.txs]))
             add_kernel("sig", sig_kernel(
                 sig_witness_from_txs(signed_txs, chain_id, keccak_randomness),
                 keccak_randomness))

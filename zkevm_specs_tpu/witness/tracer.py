@@ -201,6 +201,22 @@ def _resolve_anchor(a: dict) -> int:
     return 0 if p == 0 else p - a["poffset"]
 
 
+def _precompile_required_gas(target: int, cd_length: int) -> int:
+    """Precompile gas as computed by errors.error_oog_precompile
+    (reference error_oog_precompile.py: base cost, plus per-word for
+    identity and per-pair for bn254 pairing)."""
+    from ..evm.precompile import Precompile
+    from ..utils.param import Bn254PairingPerPointGas, IdentityPerWordGas
+
+    p = Precompile(target)
+    gas = p.base_gas_cost()
+    if p == Precompile.BN254PAIRING:
+        gas += Bn254PairingPerPointGas * (cd_length // 192)
+    elif p == Precompile.DATACOPY:
+        gas += IdentityPerWordGas * ((cd_length + 31) // 32)
+    return gas
+
+
 def _signed(v: int) -> int:
     return v - (1 << 256) if v >= U255 else v
 
@@ -998,10 +1014,40 @@ class _Tracer:
                       or self.balances.get(self.callee_address, 0) >= value)
         precheck_ok = self.depth < 1025 and balance_ok
         enters_callee = precheck_ok and not no_code and not is_precompile
+
+        # predict whether a precompile call runs out of gas BEFORE the result
+        # push (pure math mirror of the gas computation below; the error
+        # gadget is errors.error_oog_precompile)
+        prec_oog = False
+        if is_precompile and precheck_ok:
+            _has_value = (int(value != 0)
+                          if not (is_delegatecall or is_staticcall) else 0)
+            _sizes = [self.mws]
+            if cd_length:
+                _sizes.append((cd_offset + cd_length + 31) // 32)
+            if rd_length:
+                _sizes.append((rd_offset + rd_length + 31) // 32)
+            _next_mws = max(_sizes)
+            _mem_gas = (3 * (_next_mws - self.mws)
+                        + _next_mws * _next_mws // 512
+                        - self.mws * self.mws // 512)
+            _warm = target in self.warm_addr
+            _gas_cost = (
+                (GAS_COST_WARM_ACCESS if _warm else GAS_COST_ACCOUNT_COLD_ACCESS)
+                + _has_value * (GAS_COST_CALL_WITH_VALUE
+                                + (GAS_COST_NEW_ACCOUNT
+                                   if is_call and callee_not_exists else 0))
+                + _mem_gas)
+            _avail = self.gas_left - _gas_cost
+            _ab64 = _avail - _avail // 64
+            _cg = min(_ab64, gas_arg) if gas_arg < (1 << 64) else _ab64
+            prec_oog = _cg < _precompile_required_gas(target, cd_length)
+
         if enters_callee:
             cidx, csucc = self._frame_outcome()
         else:
-            cidx, csucc = None, bool(precheck_ok)  # no-code/precompile calls succeed
+            # no-code/precompile calls succeed unless the precompile OOGs
+            cidx, csucc = None, bool(precheck_ok) and not prec_oog
         self.spush(int(csucc))
 
         # memory expansion across the cd and rd regions (CallGadget)
@@ -1088,10 +1134,16 @@ class _Tracer:
         callee_gas = min(all_but_64th, gas_arg) if gas_arg < (1 << 64) else all_but_64th
 
         if is_precompile and precheck_ok:
-            self._enter_precompile(
-                op, target, callee_call_id, callee_anchor, snapshot,
-                cd_offset, cd_length, rd_offset, rd_length, value, has_value,
-                gas_cost, callee_gas, next_mws)
+            if prec_oog:
+                self._enter_precompile_oog(
+                    op, target, callee_call_id, callee_anchor, callee_pending,
+                    cd_offset, cd_length, rd_offset, rd_length,
+                    gas_cost, callee_gas, next_mws)
+            else:
+                self._enter_precompile(
+                    op, target, callee_call_id, callee_anchor, snapshot,
+                    cd_offset, cd_length, rd_offset, rd_length, value,
+                    has_value, gas_cost, callee_gas, next_mws)
             return
 
         if not precheck_ok or no_code:
@@ -1657,6 +1709,102 @@ class _Tracer:
         self.gas_left = resume_gas + (callee_gas - prec_gas)
         self.mws = next_mws
         self.last_callee = (callee_call_id, 0, ret_len)
+        self.pc += 1
+
+    def _enter_precompile_oog(self, op, target, callee_call_id, callee_anchor,
+                              callee_pending, cd_offset, cd_length, rd_offset,
+                              rd_length, gas_cost, callee_gas, next_mws):
+        """Precompile call with insufficient gas: the callop gadget's
+        precompile branch (IsSuccess=0, no output copies) followed by an
+        ErrorOutOfGasPrecompile step in the callee frame that restores the
+        caller's context and burns all callee gas
+        (reference execution/error_oog_precompile.py; the reference leaves
+        this state unreachable from callop — see the documented deviation in
+        evm/execution/callop.py)."""
+        from ..ops.keccak import EMPTY_CODE_HASH
+
+        assert self.persistent, (
+            "tracer: OOG precompile calls inside reverting frames unsupported")
+        if target == 4:
+            # PrecompileGadget pins identity's return length to its calldata
+            # length, which a failed call (return 0 bytes) can only satisfy
+            # with empty calldata (reference precompile_gadget.py:24)
+            assert cd_length == 0, (
+                "tracer: OOG identity calls need empty calldata")
+        rw = self.rw
+        self.w.steps[-1].aux_data = (cd_length, 0)
+
+        # callee context writes (7, callop.py:157-169), failed call
+        for tag, v in (
+            (CallContextFieldTag.IsSuccess, 0),
+            (CallContextFieldTag.CalleeAddress, target),
+            (CallContextFieldTag.CallerId, self.call_id),
+            (CallContextFieldTag.CallDataOffset, cd_offset),
+            (CallContextFieldTag.CallDataLength, cd_length),
+            (CallContextFieldTag.ReturnDataOffset, rd_offset),
+            (CallContextFieldTag.ReturnDataLength, rd_length),
+        ):
+            rw.call_context_write(callee_call_id, tag, v)
+        # caller context saves (8, callop.py:171-184); no return data
+        resume_gas = self.gas_left - gas_cost - callee_gas
+        for tag, v in (
+            (CallContextFieldTag.ProgramCounter, self.pc + 1),
+            (CallContextFieldTag.StackPointer, 1024 - len(self.stack)),
+            (CallContextFieldTag.GasLeft, resume_gas),
+            (CallContextFieldTag.MemorySize, next_mws),
+            (CallContextFieldTag.ReversibleWriteCounter, self.rev),
+            (CallContextFieldTag.LastCalleeId, callee_call_id),
+            (CallContextFieldTag.LastCalleeReturnDataOffset, 0),
+            (CallContextFieldTag.LastCalleeReturnDataLength, 0),
+        ):
+            rw.call_context_write(self.call_id, tag, v)
+        # input copy event (callop.py:187-199); no output/return copies
+        if cd_length:
+            inp = bytes(self.memory.get(cd_offset + i, 0)
+                        for i in range(cd_length))
+            src_data = {cd_offset + i: inp[i] for i in range(cd_length)}
+            self.w.copy_circuit.copy(
+                self.copy_r, rw, self.call_id, CopyDataTypeTag.Memory,
+                callee_call_id, CopyDataTypeTag.RlcAcc, cd_offset,
+                cd_offset + cd_length, 0, cd_length, src_data,
+            )
+
+        # the ErrorOutOfGasPrecompile step in the callee frame
+        call_step = self.w.steps[-1]
+        self.w.steps.append(StepState(
+            ExecutionState.ErrorOutOfGasPrecompile, rw.rw_counter,
+            call_id=callee_call_id, is_root=False,
+            code_hash=int(EMPTY_CODE_HASH),
+            program_counter=call_step.program_counter + 1,
+            stack_pointer=call_step.stack_pointer, gas_left=callee_gas,
+            memory_word_size=0, reversible_write_counter=2,
+            log_id=self.log_count,
+        ))
+
+        saved = {
+            "call_id": self.call_id, "is_root": self.is_root,
+            "code_hash": self.code_hash, "resume_pc": self.pc + 1,
+            "stack": self.stack, "resume_gas": resume_gas,
+            "resume_mws": next_mws, "resume_rev": self.rev,
+        }
+        prev_call_id, self.call_id = self.call_id, callee_call_id
+        # gadget rows: CalleeAddress + CallDataLength reads, then
+        # constrain_error_state's IsSuccess read and the caller restore
+        self.cc_read(CallContextFieldTag.CalleeAddress, target)
+        self.cc_read(CallContextFieldTag.CallDataLength, cd_length)
+        self.cc_read(CallContextFieldTag.IsSuccess, 0)
+        self._restore_context_rows(saved, (callee_call_id, 0, 0))
+        # the callee frame failed: its two reversible-write slots revert in
+        # the counters the error gadget skipped
+        caller_pending, caller_anchor = self.pending, self.anchor
+        self.pending, self.anchor = list(callee_pending), callee_anchor
+        self._materialize_reversion()
+        self.pending, self.anchor = caller_pending, caller_anchor
+
+        self.call_id = prev_call_id
+        self.gas_left = resume_gas  # all callee gas is consumed
+        self.mws = next_mws
+        self.last_callee = (callee_call_id, 0, 0)
         self.pc += 1
 
     def _ecc_circuit(self):
@@ -2363,12 +2511,57 @@ _HANDLERS = {
 }
 
 
+def _derive_tx_key(tx_id: int) -> int:
+    """Deterministic per-tx secp256k1 secret key (the traced block's
+    senders are real keypairs, like the reference's tests that sign with
+    eth_keys, tests/test_tx_circuit.py)."""
+    from ..ops.ecc import secp256k1
+
+    sk = int.from_bytes(
+        keccak256(b"zkevm-specs-tpu tx key #%d" % tx_id), "big") % secp256k1.N
+    return sk or 1
+
+
+def tx_sender_address(tx_id: int) -> int:
+    """Address of the deterministic key for tx ``tx_id``
+    (keccak(pk)[-20:], reference tx_circuit.py:341-349)."""
+    from ..ops.ecc import secp256k1
+
+    pk = secp256k1.priv_to_pub(_derive_tx_key(tx_id))
+    return int.from_bytes(keccak256(secp256k1.pubkey_bytes(pk))[-20:], "big")
+
+
+def sign_block_txs(w: BlockWitness) -> None:
+    """Sign every tx of a traced witness with its deterministic key and
+    attach ``signed_txs`` so the tx + sig circuits run on the block
+    (reference tx_circuit.py:253-291 verifies real ECDSA for every tx).
+
+    The tracer has already set each caller address to the key-derived
+    address (keccak(pk)[-20:]), so the tx circuit's recovered-address
+    constraint binds the signatures to the EVM-side tx table."""
+    from ..circuits.tx import Transaction as SignedTx, sign_tx
+
+    signed = []
+    for tx in w.txs:
+        sk = _derive_tx_key(tx.id)
+        stx = SignedTx(nonce=tx.nonce, gas_price=tx.gas_price, gas=tx.gas,
+                       to=tx.callee_address, value=tx.value,
+                       data=bytes(tx.call_data), sig_v=0, sig_r=0, sig_s=0)
+        stx = sign_tx(sk, stx, w.chain_id)
+        # binding sanity: the recovered sender must be the traced caller
+        assert tx_sender_address(tx.id) == tx.caller_address, (
+            "signed-tx sender does not match the traced caller address")
+        signed.append(stx)
+    w.signed_txs = signed
+
+
 def trace_block(
     block: Block,
     txs: List[Tuple[Transaction, Bytecode]],
     caller_balance: int = 10**21,
     withdrawals: Optional[List] = None,
     accounts: Optional[Dict[int, Account]] = None,
+    sign: bool = True,
 ) -> BlockWitness:
     """Execute txs (each a call to a contract with the given bytecode) and
     emit the full witness.
@@ -2380,6 +2573,21 @@ def trace_block(
     prologue of setup writes (rw counters 1..10*n_txs) provides them, and
     execution rows start after the prologue.  verify_prologue
     (circuits/super_circuit.py) constrains the prologue itself."""
+    if sign:
+        # authenticated senders by default: each tx's caller address is the
+        # address of a deterministic real keypair, and the signatures ride
+        # the witness so tx + sig circuits always run (reference
+        # tx_circuit.py:341-349 address = keccak(recovered pk)[-20:])
+        for tx, _bc in txs:
+            old = tx.caller_address
+            tx.caller_address = tx_sender_address(tx.id)
+            if accounts and old in accounts and tx.caller_address not in accounts:
+                # an account the caller pinned to the pre-signing sender
+                # (balance/nonce) follows the sender to its real address
+                acct = accounts.pop(old)
+                acct.address = tx.caller_address
+                accounts[tx.caller_address] = acct
+
     if withdrawals:
         # chain the mock MPT withdrawal roots up front so the block table's
         # WithdrawalRoot matches the withdrawal circuit's final root
@@ -2470,4 +2678,6 @@ def trace_block(
         w.copy_circuit = None
     if not w.exp_circuit.rows:
         w.exp_circuit = None
+    if sign:
+        sign_block_txs(w)
     return w
