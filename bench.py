@@ -23,8 +23,15 @@ def _apply_platform_env():
     want = os.environ.get("JAX_PLATFORMS")
     if want:
         jax.config.update("jax_platforms", want)
+    from zkevm_specs_tpu.utils.cache import (
+        install_cache_write_guard,
+        machine_cache_dir,
+    )
+
     cache_dir = Path(__file__).parent / ".jax_cache"
-    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_compilation_cache_dir",
+                      machine_cache_dir(str(cache_dir)))
+    install_cache_write_guard()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
@@ -395,14 +402,17 @@ def bench_ecc():
 
 
 def bench_fr_mul():
-    """Fr modular-mul kernel: Pallas (limb-major VMEM-resident) vs the XLA
-    elementwise path; reports the faster one in field muls/s/chip."""
+    """Fr modular-mul kernel (XLA elementwise path) in field muls/s/chip.
+
+    A Pallas variant existed through round 3 but was bench-only and does not
+    compile on the target TPU toolchain (Mosaic 'failed to legalize
+    func.return'), so it was retired (round-3 weak #6): the XLA path IS the
+    production kernel."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     from zkevm_specs_tpu.ops import fr
-    from zkevm_specs_tpu.ops.pallas_fr import fr_mul_pallas
 
     n = int(os.environ.get("BENCH_STEPS", str(1 << 16)))
     rng = np.random.RandomState(0)
@@ -413,26 +423,20 @@ def bench_fr_mul():
 
     xla_fn = jax.jit(lambda x, y: fr.mul(jnp, x, y))
     n_iters = int(os.environ.get("BENCH_ITERS", "50"))
-    results = {}
-    for name, fn in (("xla", xla_fn), ("pallas", lambda x, y: fr_mul_pallas(x, y))):
-        out = fn(a, b)
-        out.block_until_ready()
-        t0 = time.time()
-        for _ in range(n_iters):
-            out = fn(a, b)
-        out.block_until_ready()
-        dt = (time.time() - t0) / n_iters
-        results[name] = n / dt
-        # spot-check correctness on first rows
-        got = fr.to_ints(np.asarray(out[:4]))
-        want = [(x * y) % fr.P for x, y in zip(vals_a[:4], vals_b[:4])]
-        assert got == want, f"{name} fr mul mismatch"
-    best = max(results, key=results.get)
-    print(json.dumps({"detail": {k: round(v, 1) for k, v in results.items()},
-                      "winner": best}), file=sys.stderr)
+    out = xla_fn(a, b)
+    out.block_until_ready()
+    t0 = time.time()
+    for _ in range(n_iters):
+        out = xla_fn(a, b)
+    out.block_until_ready()
+    dt = (time.time() - t0) / n_iters
+    # spot-check correctness on first rows
+    got = fr.to_ints(np.asarray(out[:4]))
+    want = [(x * y) % fr.P for x, y in zip(vals_a[:4], vals_b[:4])]
+    assert got == want, "fr mul mismatch"
     return {
         "metric": "fr_mul_per_s_chip",
-        "value": round(results[best], 1),
+        "value": round(n / dt, 1),
         "unit": "field muls/s",
         "vs_baseline": 1.0,
     }
@@ -447,19 +451,14 @@ def _receipt_gas_used(witness):
     return max(vals) if vals else 0
 
 
-def bench_super_jit_1m():
-    """BASELINE config 5 north star: a traced ~1M-gas block (gas measured
-    from the receipt rows, not the txs' gas limits) through the compiled
-    whole-block verifier."""
-    from zkevm_specs_tpu.runtime.block import CompiledBlockVerifier
-    from zkevm_specs_tpu.witness.tracer import trace_block
-    from zkevm_specs_tpu.witness.typing import Block, Bytecode, Transaction
+def _sstore_heavy_txs(n_txs):
+    """~1M gas in few steps: 6 cold SSTOREs (~22.1k each) + warm reads +
+    ALU + a keccak per tx (~2.3k gas/step)."""
+    from zkevm_specs_tpu.witness.typing import Bytecode, Transaction
 
-    n_txs = int(os.environ.get("BENCH_TXS", "7"))
     txs = []
     for i in range(n_txs):
         bc = Bytecode()
-        # 6 cold SSTOREs (~22.1k each) + warm reads + ALU + a keccak
         for j in range(6):
             bc.push1(j + 1).push2(i * 64 + j).sstore()
             bc.push2(i * 64 + j).sload().pop()
@@ -469,6 +468,34 @@ def bench_super_jit_1m():
         txs.append((Transaction(id=i + 1, gas=200000, gas_price=int(2e9),
                                 caller_address=0xFE, callee_address=0xFF + i),
                     bc))
+    return txs
+
+
+def _alu_heavy_txs(n_txs, ops_per_tx):
+    """~1M gas in tens of thousands of steps: PUSH/PUSH/ADD/POP loops
+    (~11 gas per 4 steps) — the step-rate-honest workload mix
+    (round-3 weak #4)."""
+    from zkevm_specs_tpu.witness.typing import Bytecode, Transaction
+
+    txs = []
+    for i in range(n_txs):
+        bc = Bytecode()
+        for j in range(ops_per_tx):
+            bc.push1(j & 0xFF).push1((j + 1) & 0xFF).add().pop()
+        bc.stop()
+        gas = 21000 + 11 * ops_per_tx + 1000
+        txs.append((Transaction(id=i + 1, gas=gas, gas_price=int(2e9),
+                                caller_address=0xFE, callee_address=0xFF + i),
+                    bc))
+    return txs
+
+
+def _run_block_once(txs, n_iters):
+    """Trace + verify one block through the compiled path; returns timings."""
+    from zkevm_specs_tpu.runtime.block import CompiledBlockVerifier
+    from zkevm_specs_tpu.witness.tracer import trace_block
+    from zkevm_specs_tpu.witness.typing import Block
+
     t0 = time.time()
     witness = trace_block(Block(base_fee=int(1e9), gas_limit=int(30e6)), txs)
     t_trace = time.time() - t0
@@ -480,14 +507,13 @@ def bench_super_jit_1m():
     t0 = time.time()
     prepared = bv.prepare()
     t_prepare_cold = time.time() - t0
-    # steady-state serving: same-shaped blocks reuse every compiled
-    # executable (group kernels, leaf unpacker); measure the warm prepare
+    # repeat verification of the prepared block: hints were captured during
+    # the build-time trace pass, so prepare is upload-only
     t0 = time.time()
     prepared = bv.prepare()
     t_prepare = time.time() - t0
     failures = bv.run_device(prepared)  # warmup/compile (per-kernel path)
     assert not failures, f"bench witness rejected: {failures}"
-    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
     t0 = time.time()
     for _ in range(n_iters):
         failures = bv.run_device(prepared)
@@ -503,24 +529,69 @@ def bench_super_jit_1m():
         failures = bv.run_device_combined(prepared, jfa)
     t_device = (time.time() - t0) / n_iters
     assert not failures
-    e2e = t_prepare + t_device
+    return {
+        "witness": witness, "bv": bv, "gas_used": gas_used,
+        "t_trace": t_trace, "t_build": t_build,
+        "t_prepare_cold": t_prepare_cold, "t_prepare": t_prepare,
+        "t_device": t_device, "t_device_per_kernel": t_device_per_kernel,
+    }
+
+
+def _bench_block_mix(make_txs, n_iters):
+    """One workload mix: repeat-verify timings plus the fresh-block
+    steady-state (trace + build + prepare + device for a NEW same-shaped
+    block with warm compile caches — what serving a stream of blocks
+    actually costs per block)."""
+    r = _run_block_once(make_txs(), n_iters)
+    gas_used = r["gas_used"]
+    e2e = r["t_prepare"] + r["t_device"]
+
+    t0 = time.time()
+    r2 = _run_block_once(make_txs(), 1)
+    fresh = (r2["t_trace"] + r2["t_build"] + r2["t_prepare_cold"]
+             + r2["t_device"])
+    steps = len(r["witness"].steps)
+    return {
+        "gas_used": gas_used,
+        "steps": steps,
+        "groups": len(r["bv"].groups),
+        "gas_per_s": round(gas_used / e2e, 1),
+        "steps_per_s": round(steps / e2e, 1),
+        "wall_s": round(e2e, 3),
+        "device_s": round(r["t_device"], 4),
+        "device_s_per_kernel_path": round(r["t_device_per_kernel"], 4),
+        "device_gas_per_s": round(gas_used / r["t_device"], 1),
+        "prepare_s": round(r["t_prepare"], 3),
+        "prepare_cold_s": round(r["t_prepare_cold"], 3),
+        "build_s": round(r["t_build"], 1),
+        "trace_s": round(r["t_trace"], 3),
+        "fresh_block_s": round(fresh, 3),
+        "fresh_block_gas_per_s": round(r2["gas_used"] / fresh, 1),
+    }
+
+
+def bench_super_jit_1m():
+    """BASELINE config 5 north star: traced ~1M-gas blocks (gas measured
+    from the receipt rows, not the txs' gas limits) through the compiled
+    whole-block verifier.  TWO workload mixes — SSTORE-heavy (gas-dense,
+    few steps) and ALU-heavy (tens of thousands of steps) — with the WORSE
+    gas/s as the headline, so the number is workload-mix honest."""
+    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+    n_txs = int(os.environ.get("BENCH_TXS", "7"))
+    alu_steps = int(os.environ.get("BENCH_ALU_OPS", "11000"))
+
+    sstore = _bench_block_mix(lambda: _sstore_heavy_txs(n_txs), n_iters)
+    alu = _bench_block_mix(lambda: _alu_heavy_txs(8, alu_steps), n_iters)
+    worse = min(sstore, alu, key=lambda m: m["gas_per_s"])
     return {
         "metric": "super_circuit_1m_gas_per_s",
-        "value": round(gas_used / e2e, 1),
+        "value": worse["gas_per_s"],
         "unit": "gas/s",
         "vs_baseline": 1.0,
         "detail": {
-            "gas_used": gas_used,
-            "wall_s": round(e2e, 3),
-            "device_s": round(t_device, 4),
-            "device_s_per_kernel_path": round(t_device_per_kernel, 4),
-            "device_gas_per_s": round(gas_used / t_device, 1),
-            "prepare_s": round(t_prepare, 3),
-            "prepare_cold_s": round(t_prepare_cold, 3),
-            "build_s": round(t_build, 1),
-            "trace_s": round(t_trace, 3),
-            "steps": len(witness.steps),
-            "groups": len(bv.groups),
+            "headline": "min over workload mixes",
+            "sstore_heavy": sstore,
+            "alu_heavy": alu,
         },
     }
 
@@ -554,9 +625,16 @@ def bench_evm_knee():
     while n <= cap:
         verifier = CompiledGroupVerifier(tables, ExecutionState.ADD,
                                          steps[:n], nexts[:n])
-        args = jax.device_put(verifier.prepare_inputs(steps[:n], nexts[:n]))
+        host_args = verifier.prepare_inputs(steps[:n], nexts[:n])
+        # rotate several independent device copies per iteration: no layer
+        # (backend result cache, tunnel-side memoization of repeated
+        # (executable, buffers) pairs) can serve most iterations from a
+        # cache (round-3 weak #1 batch-8192 outlier audit; the graph itself
+        # was verified non-degenerate — it flags corrupt lanes)
+        n_copies = 8 if n <= (1 << 16) else 2
+        args_ab = [jax.device_put(host_args) for _ in range(n_copies)]
         t0 = time.time()
-        out = verifier(*args)
+        out = verifier(*args_ab[0])
         out.block_until_ready()
         t_compile_total += time.time() - t0
         # the real TPU sits behind a tunnel with multi-hundred-us dispatch
@@ -564,8 +642,8 @@ def bench_evm_knee():
         dts = []
         for _ in range(n_reps):
             t0 = time.time()
-            for _ in range(n_iters):
-                out = verifier(*args)
+            for i in range(n_iters):
+                out = verifier(*args_ab[i % n_copies])
             out.block_until_ready()
             dts.append((time.time() - t0) / n_iters)
         dt = min(dts)
@@ -575,13 +653,16 @@ def bench_evm_knee():
         sweep.append(entry)
         floor = dt if floor is None else min(floor, dt)
         n *= 2
-    # the reported point is the sweep's throughput maximum; `saturated`
-    # says whether its iteration time left the dispatch floor (if not, the
-    # value is a lower bound — the kernel is dispatch/latency-bound all the
-    # way to the memory cap, and larger batches would amortize further).
-    # The full sweep ships in the detail so the number is batch-auditable.
-    knee = max(sweep, key=lambda e: e["evals_per_s"])
-    knee = dict(knee, saturated=knee["iter_ms"] > 2.0 * floor * 1e3)
+    # report the best SATURATED point — iteration time well clear of the
+    # dispatch floor, so the number is kernel throughput rather than a
+    # dispatch artifact (round-3 weak #1).  If no point saturates, the
+    # largest batch is reported as a lower bound with saturated=false.
+    saturated = [e for e in sweep if e["iter_ms"] > 2.0 * floor * 1e3]
+    if saturated:
+        knee = dict(max(saturated, key=lambda e: e["evals_per_s"]),
+                    saturated=True)
+    else:
+        knee = dict(sweep[-1], saturated=False)
     return {
         "metric": "evm_constraint_evals_per_s_chip",
         "value": knee["evals_per_s"],
@@ -607,6 +688,24 @@ def bench_default():
     evm = bench_evm_knee()
     sj = bench_super_jit_1m()
     st = bench_state_storage()
+    fr = bench_fr_mul()
+    # roofline accounting (BASELINE "field-mul throughput at speed-of-light"):
+    # one 16x16-bit-limb Barrett Fr mul costs ~1,700 u32 VPU ops (256-term
+    # schoolbook conv + 2 Barrett convs + carry chains, ops/limbs.py:234 +
+    # ops/fr.py:43).  Assumed VPU integer peak for v5e: 8x128 lanes x 4 ALUs
+    # x 1.74 GHz ~= 7.1e12 u32 ops/s (scaling-book VPU model; u32 multiplies
+    # may retire slower than 1/lane/cycle, so pct_of_peak is a lower bound
+    # on true utilization).
+    EST_U32_OPS_PER_MUL = 1700
+    VPU_PEAK_OPS = 8 * 128 * 4 * 1.74e9
+    achieved_ops = fr["value"] * EST_U32_OPS_PER_MUL
+    roofline = {
+        "fr_mul_per_s": fr["value"],
+        "est_u32_ops_per_mul": EST_U32_OPS_PER_MUL,
+        "achieved_u32_ops_per_s": round(achieved_ops, 1),
+        "assumed_vpu_peak_u32_ops_per_s": VPU_PEAK_OPS,
+        "pct_of_vpu_peak": round(100.0 * achieved_ops / VPU_PEAK_OPS, 2),
+    }
 
     baseline_path = Path(__file__).parent / "bench_baseline.json"
     vs = 1.0
@@ -635,6 +734,7 @@ def bench_default():
                                  **sj["detail"]},
             "state_storage": {"value": st["value"], "unit": st["unit"],
                               **st.get("detail", {})},
+            "fr_mul_roofline": roofline,
             "platform": jax.devices()[0].platform,
             "device": str(jax.devices()[0]),
         },

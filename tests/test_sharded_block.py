@@ -86,3 +86,52 @@ def test_sharded_block_lookup_families_binding():
     sbv = ShardedBlockVerifier(w, make_mesh(8))
     ok = sbv.verify_lookups()
     assert ok.get("rw") is True and ok.get("bytecode") is True
+
+
+def test_sharded_block_runs_all_producers():
+    """The mesh path executes every producer-circuit kernel (round-3
+    missing #2: a sharded whole-block verifier must be the WHOLE super
+    circuit, reference specs/super_circuit.md)."""
+    w = _multi_tx_witness()
+    sbv = ShardedBlockVerifier(w, make_mesh(8))
+    fails = sbv.verify_producers()
+    assert {"prologue", "bytecode", "keccak", "tx", "sig",
+            "withdrawal", "pi"} <= set(fails), set(fails)
+    assert not any(f.any() for f in fails.values()), {
+        k: np.nonzero(v)[0][:4].tolist() for k, v in fails.items() if v.any()}
+
+
+def _copy_witness():
+    bc = Bytecode()
+    bc.push1(8).push1(0).push1(0).calldatacopy()
+    bc.push1(3).push1(2).exp().pop()
+    bc.stop()
+    tx = Transaction(id=1, gas=100000, gas_price=int(2e9),
+                     caller_address=0xFE, callee_address=0xFF,
+                     call_data=bytes(range(8)))
+    return trace_block(Block(base_fee=int(1e9)), [(tx, bc)])
+
+
+def test_sharded_block_attributes_copy_failure():
+    w = _copy_witness()
+    ShardedBlockVerifier(w, make_mesh(8)).verify()  # clean baseline
+    w2 = _copy_witness()
+    w2.copy_circuit.rows[0]["value"] += 1
+    sbv = ShardedBlockVerifier(w2, make_mesh(8))
+    with pytest.raises(AssertionError, match="copy"):
+        sbv.verify()
+
+
+def test_sharded_block_attributes_pi_failure():
+    from zkevm_specs_tpu.witness.typing import Withdrawal
+
+    bc = Bytecode().push1(1).push1(2).add().pop().stop()
+    tx = Transaction(id=1, gas=100000, gas_price=int(2e9),
+                     caller_address=0xFE, callee_address=0xFF)
+    wds = [Withdrawal(id=7, validator_id=1, address=0xD00D, amount=int(2e9))]
+    w = trace_block(Block(base_fee=int(1e9)), [(tx, bc)], withdrawals=wds)
+    w.withdrawals[0].amount = 0  # breaks pi's non-zero-amount rule
+    sbv = ShardedBlockVerifier(w, make_mesh(8))
+    fails = sbv.verify_producers()
+    assert fails["pi"].any() or fails["withdrawal"].any(), (
+        "corrupt withdrawal amount not attributed on the mesh path")

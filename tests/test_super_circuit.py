@@ -47,15 +47,21 @@ def test_super_circuit_memory_program():
 
 
 def test_super_circuit_with_signatures():
+    """Every traced block carries real signatures by default; the tx
+    circuit binds the EVM tx-table sender to the recovered signer, so an
+    externally-supplied signature from the wrong key is REJECTED."""
     block, txs = simple_block(1)
     witness = trace_block(block, txs)
-    chain_id = 1337
-    signed = [
-        sign_tx(5, SigTx(nonce=0, gas_price=int(2e9), gas=30000, to=0xFF,
-                         value=0, data=b"", sig_v=0, sig_r=0, sig_s=0), chain_id)
-    ]
-    verify_super_circuit(witness, signed_txs=signed,
-                         tx_circuit_params=(2, 8, chain_id))
+    assert witness.signed_txs is not None
+    # the default-signed witness verifies (tx + sig circuits included)
+    verify_super_circuit(witness, tx_circuit_params=(2, 8, witness.chain_id))
+
+    # a signature over the same payload from a DIFFERENT key recovers a
+    # different sender and must fail the EVM-table/recovered-signer binding
+    bad = [sign_tx(5, witness.signed_txs[0], witness.chain_id)]
+    with pytest.raises(AssertionError):
+        verify_super_circuit(witness, signed_txs=bad,
+                             tx_circuit_params=(2, 8, witness.chain_id))
 
 
 def test_super_circuit_corrupt_rw_rejected():

@@ -8,6 +8,7 @@ from typing import List, Sequence
 import numpy as np
 
 from ..dsl.cs import ConstraintSystem
+from ..utils.typing import is_circuit_code
 from ..dsl.value import Ctx, F, Word
 from ..evm.opcode import get_push_size
 from ..ops.fr import P
@@ -106,6 +107,7 @@ def build_bytecode_cols(ctx: Ctx, rows: List[dict]):
     return col
 
 
+@is_circuit_code
 def check_bytecode(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
     """The bytecode-circuit constraint body (reference bytecode_circuit.py:37-101)
     — runs eagerly (spec mode) and under jit (production) unchanged."""

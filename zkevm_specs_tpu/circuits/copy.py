@@ -8,6 +8,7 @@ from typing import List
 import numpy as np
 
 from ..dsl.cs import ConstraintSystem
+from ..utils.typing import is_circuit_code
 from ..dsl.value import Ctx, F, Word
 from ..tables.container import Tables
 from ..tables.schemas import (
@@ -36,6 +37,7 @@ def build_copy_cols(ctx: Ctx, rows: List[dict]):
     return c
 
 
+@is_circuit_code
 def check_copy(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
     """The copy-circuit constraint body (reference copy_circuit.py:23-130) —
     runs eagerly (spec mode) and under jit (production) unchanged."""

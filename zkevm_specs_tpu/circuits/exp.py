@@ -8,6 +8,7 @@ from typing import List, Tuple
 import numpy as np
 
 from ..dsl.cs import ConstraintSystem
+from ..utils.typing import is_circuit_code
 from ..dsl.value import Ctx, F, Word
 from ..witness.typing import ExpCircuit
 
@@ -49,6 +50,7 @@ def build_exp_cols(ctx: Ctx, rows: List[dict]):
     return cols
 
 
+@is_circuit_code
 def check_exp(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
     """The exp-circuit constraint body (reference exp_circuit.py:14-86) —
     runs eagerly (spec mode) and under jit (production) unchanged."""

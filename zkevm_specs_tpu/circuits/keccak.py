@@ -22,6 +22,7 @@ from typing import List
 import numpy as np
 
 from ..dsl.cs import ConstraintSystem
+from ..utils.typing import is_circuit_code
 from ..dsl.value import Ctx, F, Word
 from ..ops import fr
 from ..ops import limbs as L
@@ -130,6 +131,7 @@ def build_keccak_inputs(preimages: List[bytes], enabled_rows: List[dict]):
     return ctx, cols, extra
 
 
+@is_circuit_code
 def check_keccak(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
     """The keccak-circuit constraint body — eager (spec) and jit alike."""
     xp = ctx.xp

@@ -14,6 +14,7 @@ from typing import List, Optional, Set, Tuple, Union
 import numpy as np
 
 from ..dsl.cs import ConstraintSystem
+from ..utils.typing import is_circuit_code
 from ..dsl.value import Ctx, F, Word
 from ..ops.fr import P
 from ..ops.keccak import keccak256
@@ -601,6 +602,7 @@ def build_pi_inputs(witness: "Witness", MAX_TXS: int, MAX_CALLDATA_BYTES: int,
     return ctx, cols, tables, static, extra
 
 
+@is_circuit_code
 def check_pi(ctx: Ctx, cs: ConstraintSystem, c, tables, static, extra):
     """The pi-circuit constraint body (reference check_row :150-322 plus the
     copy constraints :338-452) — eager (spec) and jit alike."""

@@ -17,6 +17,7 @@ from typing import Dict, List, NamedTuple, Optional, Set, Tuple
 import numpy as np
 
 from ..dsl.cs import ConstraintSystem
+from ..utils.typing import is_circuit_code
 from ..dsl.value import Ctx, F, Word
 from ..ops.ecc import secp256k1
 from ..ops.keccak import keccak256
@@ -130,6 +131,7 @@ def build_signverify_inputs(
     return cols, extra
 
 
+@is_circuit_code
 def check_signverify(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
     """keccak(pk) == pk_hash via table lookup, address == pk_hash[-20:], and
     the host ECDSA verdict == is_valid — all rows at once.  Lanes with

@@ -14,6 +14,7 @@ from typing import List, NamedTuple, Optional, Tuple, Union
 import numpy as np
 
 from ..dsl.cs import ConstraintSystem
+from ..utils.typing import is_circuit_code
 from ..dsl.value import Ctx, F, Word
 from ..ops.ecc import secp256k1
 from ..ops.keccak import keccak256
@@ -101,6 +102,7 @@ def _tx_inputs(witness: Witness, MAX_TXS: int, ctx: Ctx,
     return cols, extra
 
 
+@is_circuit_code
 def check_tx(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
     """Tx-circuit constraint body: the shared sign-verify rules plus the
     copy constraints binding the tx-table rows to the chips

@@ -15,6 +15,7 @@ from typing import List, NamedTuple
 import numpy as np
 
 from ..dsl.cs import ConstraintSystem
+from ..utils.typing import is_circuit_code
 from ..dsl.value import Ctx, F, Word
 from ..ops.keccak import keccak256
 from ..tables.engine import Table
@@ -83,6 +84,7 @@ def _withdrawal_inputs(witness: Witness, MAX_WITHDRAWALS: int, ctx: Ctx):
     return cols, extra
 
 
+@is_circuit_code
 def check_withdrawal(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
     """The withdrawal-circuit constraint body
     (reference withdrawal_circuit.py:128-201)."""

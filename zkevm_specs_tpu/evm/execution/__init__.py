@@ -171,3 +171,10 @@ EXECUTION_STATE_IMPL: Dict[ExecutionState, Callable] = {
     ExecutionState.BN254_PAIRING: ecPairing,
     ExecutionState.BN254_SCALAR_MUL: ecMul,
 }
+
+# every registered gadget is circuit code: pure, dual-mode (eager numpy spec
+# AND jit-traced), reference util/typing.py:8-18's marker made explicit
+from ...utils.typing import is_circuit_code as _is_circuit_code  # noqa: E402
+
+for _fn in EXECUTION_STATE_IMPL.values():
+    _is_circuit_code(_fn)

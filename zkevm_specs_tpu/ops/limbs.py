@@ -97,6 +97,12 @@ def pad_limbs(xp, a, n: int):
     if cur == n:
         return a
     assert cur < n
+    if xp is np:
+        # np.pad's generality costs ~30us/call; zeros+assign is ~10x cheaper
+        # and this is the hottest allocation in the eager hint pass
+        out = np.zeros(a.shape[:-1] + (n,), dtype=a.dtype)
+        out[..., :cur] = a
+        return out
     pad = [(0, 0)] * (a.ndim - 1) + [(0, n - cur)]
     return xp.pad(a, pad)
 
@@ -112,11 +118,21 @@ def trunc_limbs(a, n: int):
 
 def _shift_up(xp, hi):
     """Shift a limb array up one position (dropping the top entry)."""
+    if xp is np:
+        out = np.zeros_like(hi)
+        out[..., 1:] = hi[..., :-1]
+        return out
     pad = [(0, 0)] * (hi.ndim - 1) + [(1, 0)]
     return xp.pad(hi[..., :-1], pad)
 
 
 _CHUNK = 16  # limbs per packed carry-resolution word (bits 0..16 of u32)
+
+# precomputed bit-weight / bit-index vectors per chunk width (numpy views;
+# jnp callers re-wrap them via xp.asarray which is free for small constants)
+_PW = {w: np.array([1 << k for k in range(w)], dtype=DTYPE)
+       for w in range(1, _CHUNK + 1)}
+_KIDX = {w: np.arange(w, dtype=DTYPE) for w in range(1, _CHUNK + 1)}
 
 
 def _resolve_carries(xp, v):
@@ -138,12 +154,12 @@ def _resolve_carries(xp, v):
         chunk = v[..., s:s + w]
         g = (chunk >> LIMB_BITS).astype(DTYPE)          # 0/1 per limb
         p = (chunk == LIMB_MASK).astype(DTYPE)
-        pw = xp.asarray(np.array([1 << k for k in range(w)], dtype=DTYPE))
+        pw = _PW[w] if xp is np else xp.asarray(_PW[w])
         A = (p * pw).sum(axis=-1, dtype=DTYPE)
         B = ((g * pw).sum(axis=-1, dtype=DTYPE) << 1) | c_in
         S = A + B
         c = B | (S ^ A ^ B)                              # carry into limb k
-        kidx = xp.asarray(np.arange(w, dtype=DTYPE))
+        kidx = _KIDX[w] if xp is np else xp.asarray(_KIDX[w])
         cbits = ((c[..., None] >> kidx) & 1).astype(DTYPE)
         out.append(((chunk & LIMB_MASK) + cbits) & LIMB_MASK)
         c_in = (c >> w) & 1

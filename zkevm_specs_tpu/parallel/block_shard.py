@@ -36,7 +36,8 @@ from .shard import shard_evm_group, sharded_state_circuit
 class ShardedBlockVerifier:
     def __init__(self, witness, mesh, axes: Tuple[str, ...] = ("rows",),
                  keccak_randomness: Optional[int] = None,
-                 logup_tables: Tuple[str, ...] = ("rw", "bytecode"),
+                 logup_tables: Tuple[str, ...] = ("rw", "bytecode", "copy",
+                                                  "exp", "keccak", "tx"),
                  alpha: int = 0xA1FA, config=None):
         from ..config import DEFAULT_CONFIG
         from ..runtime.block import CompiledBlockVerifier
@@ -122,10 +123,43 @@ class ShardedBlockVerifier:
                 self.axes)
         return out
 
+    def verify_producers(self) -> Dict[str, np.ndarray]:
+        """Every producer-circuit kernel (prologue, bytecode, keccak, copy,
+        exp, tx, sig, ecc, pi, withdrawal) executed ON the mesh: row-parallel
+        circuits shard their lane dimension, small/indivisible ones run
+        replicated (SPMD with identical data), tables replicate.  Returns
+        {circuit: per-row fail bits} — the same verdict set as the
+        single-chip CompiledBlockVerifier (reference specs/super_circuit.md:
+        the super circuit is ALL sub-circuits over shared tables)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = self.axes if len(self.axes) > 1 else self.axes[0]
+        row_sh = NamedSharding(self.mesh, P(axis))
+        repl = NamedSharding(self.mesh, P())
+        out: Dict[str, np.ndarray] = {}
+        for name, kernel in self.inner.circuit_kernels:
+            n = kernel.n
+
+            def place(a, n=n):
+                a = np.asarray(a)
+                if a.ndim >= 1 and a.shape[0] == n and n % self.n_dev == 0:
+                    return jax.device_put(a, row_sh)
+                return jax.device_put(a, repl)
+
+            cols_tree, tbl_tree, extra_tree = kernel.args
+            cols_tree = jax.tree.map(place, cols_tree)
+            tbl_tree = jax.tree.map(
+                lambda a: jax.device_put(np.asarray(a), repl), tbl_tree)
+            extra_tree = jax.tree.map(place, extra_tree)
+            out[name] = np.asarray(kernel((cols_tree, tbl_tree, extra_tree)))
+        return out
+
     def verify(self) -> None:
         step_fails = self.verify_evm_groups()
         state_fail = self.verify_state()
         lookup_ok = self.verify_lookups()
+        producer_fails = self.verify_producers()
         problems = []
         if step_fails:
             problems.append(f"steps {sorted(step_fails)[:8]}")
@@ -135,6 +169,10 @@ class ShardedBlockVerifier:
         bad_tables = [k for k, ok in lookup_ok.items() if not ok]
         if bad_tables:
             problems.append(f"lookup families {bad_tables}")
+        for name, fail in producer_fails.items():
+            rows = np.nonzero(fail)[0]
+            if rows.size:
+                problems.append(f"{name} rows {rows[:8].tolist()}")
         if problems:
             raise AssertionError(
                 "sharded block verification failed: " + "; ".join(problems))

@@ -253,9 +253,23 @@ class Table:
             n_match = n_match + exact.astype(xp.int32)
         ok_unsat = n_match >= 1
         ok_unique = n_match <= 1
+        # the candidate loop must cover the query's whole equal-fingerprint
+        # run: if one more slot past the last scanned one still carries the
+        # query fingerprint, a match (or a duplicate, i.e. an ambiguity)
+        # could hide beyond the span — turn the former silent cap into an
+        # explicit per-lane failure (round-2 weak #8 / round-3 weak #8).
+        # For eagerly-built indexes max_span is the exact table-wide maximum
+        # run length, so this is trivially true; it only fires for indexes
+        # built under jit tracing whose true span exceeds MAX_CANDIDATES.
+        end_slot = xp.minimum(left + max_span, T - 1)
+        ok_covered = ((left + max_span) >= T) | (sorted_fps[end_slot] != qfp)
         if enabled is not None:
             ok_unsat = ok_unsat | ~enabled
             ok_unique = ok_unique | ~enabled
+            ok_covered = ok_covered | ~enabled
+        cs.check(ok_covered,
+                 lambda: f"Lookup {self.schema.name} candidate span exceeded "
+                         f"(fingerprint run longer than {max_span})")
         name = self.schema.name
         if ctx.eager:
             qd = {k: query[k] for k in subset}
