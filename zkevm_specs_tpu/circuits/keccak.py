@@ -145,9 +145,13 @@ def check_keccak(ctx: Ctx, cs: ConstraintSystem, cols, tables, static, extra):
                       xp.asarray(extra["active_cols"]), static["r"])
     cs.check(F(ctx, acc, 254).eq_mask(cols["input_rlc"]),
              lambda: "keccak input_rlc mismatch")
+    # canonical 16-bit limb split: a >=64KiB preimage (large contract
+    # bytecode) overflows a single limb
+    len_arr = xp.asarray(extra["len_arr"]).astype(xp.uint32)
+    len_limbs = xp.stack([len_arr & 0xFFFF, (len_arr >> 16) & 0xFFFF],
+                         axis=-1)
     cs.check(
-        cols["input_len"].eq_mask(
-            F(ctx, xp.asarray(extra["len_arr"]).astype(xp.uint32)[:, None], 64)),
+        cols["input_len"].eq_mask(F(ctx, len_limbs, 32)),
         lambda: "keccak input_len mismatch",
     )
 

@@ -426,25 +426,35 @@ def build_prologue_inputs(witness: BlockWitness, tables: Tables):
     return cols, ktables, extra
 
 
+def _canon_u32(ctx, xp, arr, bits):
+    """Canonical 16-bit-limb F column from u32 host values (a single-limb
+    view breaks as soon as a value exceeds 2^16 — call ids / rw counters do
+    in 100k-step blocks)."""
+    from ..dsl.value import F
+
+    a = xp.asarray(arr).astype(xp.uint32)
+    return F(ctx, xp.stack([a & 0xFFFF, (a >> 16) & 0xFFFF], axis=-1), bits)
+
+
 def check_prologue(ctx, cs, c, tables, static, extra):
     """Constraint body of the prologue region (spec + jit alike)."""
     from ..dsl.value import F, Word
 
     xp = ctx.xp
     n = ctx.batch
-    arange = F(ctx, xp.arange(1, n + 1, dtype=xp.uint32)[:, None], 32)
+    arange = _canon_u32(ctx, xp, xp.arange(1, n + 1, dtype=xp.uint32), 32)
     cs.constrain_equal(c["rw_counter"], arange, name="prologue rw_counter")
     cs.constrain_equal(c["rw"], F.const(ctx, 1), name="prologue not a write")
 
     key0 = F(ctx, xp.asarray(extra["exp_key0"]).astype(xp.uint32)[:, None], 8)
     cs.constrain_equal(c["key0"], key0, name="prologue target")
-    addr = F(ctx, xp.asarray(extra["exp_addr"]).astype(xp.uint32)[:, None], 160)
+    addr = _canon_u32(ctx, xp, extra["exp_addr"], 160)
     cs.constrain_equal(c["address"], addr, name="prologue key")
-    cid = F(ctx, xp.asarray(extra["exp_id"]).astype(xp.uint32)[:, None], 32)
+    cid = _canon_u32(ctx, xp, extra["exp_id"], 32)
     cs.constrain_equal(c["id"], cid, name="prologue call id")
 
     m_const = xp.asarray(extra["const_mask"])
-    cv = F(ctx, xp.asarray(extra["const_val"]).astype(xp.uint32)[:, None], 64)
+    cv = _canon_u32(ctx, xp, extra["const_val"], 64)
     cs.check(~m_const | (c["value"].lo.eq_mask(cv) & c["value"].hi.is_zero_mask()),
              lambda: "prologue const value mismatch")
 
@@ -458,7 +468,7 @@ def check_prologue(ctx, cs, c, tables, static, extra):
 
     m_tx = xp.asarray(extra["tx_mask"])
     row = tables["tx"].lookup(cs, {
-        "tx_id": F(ctx, xp.asarray(extra["tx_id"]).astype(xp.uint32)[:, None], 32),
+        "tx_id": _canon_u32(ctx, xp, extra["tx_id"], 32),
         "field_tag": F(ctx, xp.asarray(extra["tx_tag"]).astype(xp.uint32)[:, None], 8),
         "call_data_index_or_zero": F.const(ctx, 0),
     }, enabled=m_tx)
