@@ -555,6 +555,11 @@ def _bench_block_mix(make_txs, n_iters):
         "gas_used": gas_used,
         "steps": steps,
         "groups": len(r["bv"].groups),
+        # tiny irregular subgroups verify eagerly on the host INSIDE the
+        # timed device loop (scheduler policy, runtime/block.py) — their
+        # count is reported so device_s is auditable (round-3 weak #9)
+        "host_eager_groups": sum(
+            1 for g in r["bv"].groups if g["verifier"] is None),
         "gas_per_s": round(gas_used / e2e, 1),
         "steps_per_s": round(steps / e2e, 1),
         "wall_s": round(e2e, 3),

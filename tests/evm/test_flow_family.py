@@ -94,7 +94,7 @@ def test_msize():
     verify_steps(tables=tables, steps=steps)
 
 
-@pytest.mark.parametrize("n", [0, 1, 16, 31, 32])
+@pytest.mark.parametrize("n", list(range(0, 33)))
 def test_push_n(n):
     value = rand_word() >> (8 * (32 - n)) if n else 0
     bytecode = Bytecode()

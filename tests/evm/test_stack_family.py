@@ -45,7 +45,7 @@ def two_steps(state, bytecode, rw, pc0, pc1, sp0, sp1, gas, rw_delta,
     verify_steps(tables=tables, steps=steps, success=success)
 
 
-@pytest.mark.parametrize("x", [1, 2, 16])
+@pytest.mark.parametrize("x", list(range(1, 17)))
 def test_dup(x):
     v = rand_word()
     bytecode = Bytecode()
@@ -68,7 +68,7 @@ def test_dup_wrong_value_rejected():
               constant_gas_cost(Opcode.DUP1), 2, success=False)
 
 
-@pytest.mark.parametrize("x", [1, 2, 16])
+@pytest.mark.parametrize("x", list(range(1, 17)))
 def test_swap(x):
     top, deep = rand_word(), rand_word()
     bytecode = Bytecode()

@@ -37,7 +37,9 @@ class ShardedBlockVerifier:
     def __init__(self, witness, mesh, axes: Tuple[str, ...] = ("rows",),
                  keccak_randomness: Optional[int] = None,
                  logup_tables: Tuple[str, ...] = ("rw", "bytecode", "copy",
-                                                  "exp", "keccak", "tx"),
+                                                  "exp", "keccak", "tx",
+                                                  "block", "sig", "ecc",
+                                                  "withdrawal"),
                  alpha: int = 0xA1FA, config=None):
         from ..config import DEFAULT_CONFIG
         from ..runtime.block import CompiledBlockVerifier

@@ -510,7 +510,11 @@ class CompiledBlockVerifier:
 
         outs = []
         for g, args in zip(self.groups, prepared["groups"]):
-            with STATS.timed(f"evm:{g['state'].name}"):
+            # tiny irregular subgroups verify eagerly on the host (scheduler
+            # policy above); label them host: so device_s stays honest
+            label = ("host:" if g["verifier"] is None else "evm:") \
+                + g["state"].name
+            with STATS.timed(label):
                 if g["verifier"] is None:
                     outs.append(self._run_eager_group(g))
                 else:
