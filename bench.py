@@ -635,9 +635,16 @@ def bench_evm_knee():
         # (backend result cache, tunnel-side memoization of repeated
         # (executable, buffers) pairs) can serve most iterations from a
         # cache (round-3 weak #1 batch-8192 outlier audit; the graph itself
-        # was verified non-degenerate — it flags corrupt lanes)
+        # was verified non-degenerate — it flags corrupt lanes).  Only the
+        # per-lane columns rotate; the table tree (GBs at the sweep cap) is
+        # shared across copies so HBM holds one instance.
         n_copies = 8 if n <= (1 << 16) else 2
-        args_ab = [jax.device_put(host_args) for _ in range(n_copies)]
+        curr0, next0, tables0, hints0 = jax.device_put(host_args)
+        args_ab = [(curr0, next0, tables0, hints0)]
+        for _ in range(n_copies - 1):
+            c, x, h = jax.device_put(
+                (host_args[0], host_args[1], host_args[3]))
+            args_ab.append((c, x, tables0, h))
         t0 = time.time()
         out = verifier(*args_ab[0])
         out.block_until_ready()

@@ -109,16 +109,20 @@ def _partition_by_signature(
     is_last: bool,
     idxs: List[int],
     decisions: List[bool],
-    out: List[Tuple[List[int], List[bool]]],
+    out: List[Tuple[List[int], List[bool], dict]],
     depth: int = 0,
 ) -> None:
     """Split a (state, flags) group into signature-uniform lane subsets by
     replaying the eager trace and recursing on LaneSplit (mirrors
-    evm/main._run_group's control flow, but only collects the partition)."""
+    evm/main._run_group's control flow).  The successful run of each
+    uniform subset is CAPTURED (columns + hint stream + bounds) so the
+    chunked CompiledGroupVerifiers never replay the gadget eagerly — the
+    whole per-block host cost for a group is this single pass."""
     assert depth <= 64, "lane-split recursion exceeded bound"
     ctx = Ctx(np, len(idxs), "eager")
     cs = ConstraintSystem(ctx)
     cs.decisions = list(decisions)
+    cs.hint_record, cs.hint_bits = [], []
     curr = StepStateBatch(ctx, [steps[i] for i in idxs], state)
     nxt = StepStateBatch(ctx, [steps[i + 1] for i in idxs])
     inst = Instruction(ctx, cs, tables.with_ctx(ctx), curr, nxt, is_first, is_last)
@@ -133,7 +137,16 @@ def _partition_by_signature(
         _partition_by_signature(tables, steps, state, is_first, is_last,
                                 not_taken, prefix, out, depth + 1)
         return
-    out.append((idxs, list(cs.decisions)))
+    trace = {
+        "hint_record": list(cs.hint_record),
+        "hint_bits": list(cs.hint_bits),
+        "curr_cols": curr.to_columns(),
+        "next_cols": nxt.to_columns(),
+        "curr_bits": curr.column_bits(),
+        "next_bits": nxt.column_bits(),
+        "n_constraints": len(cs.records),
+    }
+    out.append((idxs, list(cs.decisions), trace))
 
 
 class CompiledBlockVerifier:
@@ -305,18 +318,20 @@ class CompiledBlockVerifier:
         for (state, is_first, is_last), idxs in groups.items():
             if state not in EXECUTION_STATE_IMPL:
                 raise NotImplementedError(f"no gadget for {state!r}")
-            parts: List[Tuple[List[int], List[bool]]] = []
+            parts: List[Tuple[List[int], List[bool], dict]] = []
             _partition_by_signature(self.tables, steps, state, is_first,
                                     is_last, idxs, [], parts)
             # bound per-kernel batch: a 100k+-step ALU block would otherwise
             # compile one giant executable per group; equal-size chunks share
-            # one compiled kernel via the shape-keyed _KERNEL_CACHE
-            chunked: List[Tuple[List[int], List[bool]]] = []
-            for sub_idxs, signature in parts:
+            # one compiled kernel via the shape-keyed _KERNEL_CACHE.  Each
+            # chunk carries (trace, local lane offsets) so its verifier can
+            # slice the captured columns/hints instead of re-running eagerly.
+            chunked: List[Tuple[List[int], List[bool], dict, int]] = []
+            for sub_idxs, signature, trace in parts:
                 for i in range(0, len(sub_idxs), max_group_lanes):
                     chunked.append((sub_idxs[i:i + max_group_lanes],
-                                    signature))
-            for sub_idxs, signature in chunked:
+                                    signature, trace, i))
+            for sub_idxs, signature, trace, local0 in chunked:
                 n_real = len(sub_idxs)
                 # scheduler policy: only regular subgroups with enough lanes
                 # earn an XLA program — tiny irregular subgroups (1-lane
@@ -339,8 +354,16 @@ class CompiledBlockVerifier:
                 padded = sub_idxs + [sub_idxs[0]] * (n_padded - n_real)
                 curr = [steps[i] for i in padded]
                 nxt = [steps[i + 1] for i in padded]
-                verifier = CompiledGroupVerifier(
-                    self.tables, state, curr, nxt, is_first, is_last)
+                if "tables_tree" not in trace:
+                    trace["tables_tree"] = self._tables_tree()
+                    trace["meta"] = self._tables_meta()
+                # lanes of this chunk within the traced part, padding = the
+                # chunk's first lane repeated
+                lane_idx = (list(range(local0, local0 + n_real))
+                            + [local0] * (n_padded - n_real))
+                verifier = CompiledGroupVerifier.from_trace(
+                    self.tables, state, curr, nxt, is_first, is_last,
+                    signature, trace, lane_idx)
                 self.groups.append({
                     "state": state, "is_first": is_first, "is_last": is_last,
                     "idxs": sub_idxs, "curr": curr, "next": nxt,
@@ -351,6 +374,20 @@ class CompiledBlockVerifier:
         ops = rw_rows_to_state_ops(witness.rw.rws)
         self._state_rows = assign_state_circuit(ops)
         self._state_mpt = mpt_table_from_ops(ops)
+
+    def _tables_tree(self):
+        if not hasattr(self, "_tables_tree_cached"):
+            from .jit import tables_to_pytree
+
+            self._tables_tree_cached = tables_to_pytree(self.tables)
+        return self._tables_tree_cached
+
+    def _tables_meta(self):
+        if not hasattr(self, "_tables_meta_cached"):
+            from .jit import tables_meta
+
+            self._tables_meta_cached = tables_meta(self.tables)
+        return self._tables_meta_cached
 
     # -- two-phase execution -------------------------------------------------
 

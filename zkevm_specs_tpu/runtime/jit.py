@@ -108,13 +108,20 @@ def _freeze(obj):
 _KERNEL_CACHE: Dict[tuple, object] = {}
 
 
+def _slice_lanes(tree, lane_idx):
+    """Gather the leading (lane) axis of every array leaf."""
+    if isinstance(tree, dict):
+        return {k: _slice_lanes(v, lane_idx) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_slice_lanes(v, lane_idx) for v in tree)
+    return np.asarray(tree)[lane_idx]
+
+
 class CompiledGroupVerifier:
     """Compiles one (execution_state, signature) group of the EVM circuit."""
 
     def __init__(self, tables_np: Tables, state, steps: List[StepState],
                  next_steps: List[StepState], is_first=False, is_last=False):
-        import jax
-
         self.state = state
         self.is_first = is_first
         self.is_last = is_last
@@ -140,14 +147,48 @@ class CompiledGroupVerifier:
         self._built_inputs = (steps, next_steps,
                               (curr.to_columns(), nxt.to_columns(),
                                self.tables_tree_np, list(cs.hint_record)))
+        self.n_constraints = len(cs.records)
+        self._build_jit(len(steps))
+
+    @classmethod
+    def from_trace(cls, tables_np: Tables, state, steps: List[StepState],
+                   next_steps: List[StepState], is_first, is_last,
+                   signature, trace: dict, lane_idx) -> "CompiledGroupVerifier":
+        """Build WITHOUT re-running the gadget eagerly: slice the columns +
+        hint stream a prior full-group pass captured (the block builder's
+        signature-partition pass) down to this chunk's lanes (``lane_idx``
+        indexes into the traced group's lanes; padding repeats a lane)."""
+        self = object.__new__(cls)
+        self.state = state
+        self.is_first = is_first
+        self.is_last = is_last
+        self._tables_np = tables_np
+        self.signature = list(signature)
+        self.hint_bits = list(trace["hint_bits"])
+        self.curr_bits = trace["curr_bits"]
+        self.next_bits = trace["next_bits"]
+        self.tables_tree_np = trace["tables_tree"]
+        self.meta = trace["meta"]
+        lane_idx = np.asarray(lane_idx, dtype=np.int64)
+        self._built_inputs = (steps, next_steps,
+                              (_slice_lanes(trace["curr_cols"], lane_idx),
+                               _slice_lanes(trace["next_cols"], lane_idx),
+                               self.tables_tree_np,
+                               _slice_lanes(trace["hint_record"], lane_idx)))
+        self.n_constraints = trace["n_constraints"]
+        self._build_jit(len(steps))
+        return self
+
+    def _build_jit(self, n_steps: int):
+        import jax
 
         sig = self.signature
         hint_bits = self.hint_bits
         meta = self.meta
         curr_bits, next_bits = self.curr_bits, self.next_bits
-        st, isf, isl = state, is_first, is_last
+        st, isf, isl = self.state, self.is_first, self.is_last
 
-        cache_key = (int(state), isf, isl, len(steps), tuple(sig),
+        cache_key = (int(st), isf, isl, n_steps, tuple(sig),
                      _freeze(hint_bits), _freeze(curr_bits),
                      _freeze(next_bits), _freeze(meta))
         self._jit = _KERNEL_CACHE.get(cache_key)
@@ -170,7 +211,6 @@ class CompiledGroupVerifier:
 
             self._jit = jax.jit(fn)
             _KERNEL_CACHE[cache_key] = self._jit
-        self.n_constraints = len(cs.records)
         self.n_hints = len(self.hint_bits)
 
     def prepare_inputs(self, steps: List[StepState], next_steps: List[StepState]):
