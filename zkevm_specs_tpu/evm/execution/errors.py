@@ -189,7 +189,11 @@ def error_oog_memory_copy(instruction: Instruction):
     copy_size_word = instruction.stack_lookup(RW.Read, stack_offset + 2)
 
     if is_extcodecopy:
-        address = instruction.word_to_fq(external_address, N_BYTES_MEMORY_ADDRESS)
+        # deviation: the reference narrows the external address to
+        # N_BYTES_MEMORY_ADDRESS (error_oog_memory_copy.py:41), which rejects
+        # any real 20-byte address (its own test dodges this with 0xCAFECAFE);
+        # we use the full account-address width
+        address = instruction.word_to_address(external_address)
         tx_id = instruction.call_context_lookup(CallContextFieldTag.TxId)
         is_warm = instruction.read_account_to_access_list(tx_id, address)
         constant_gas = instruction.select(
