@@ -537,21 +537,27 @@ def _run_block_once(txs, n_iters):
     }
 
 
-def _bench_block_mix(make_txs, n_iters):
+def _bench_block_mix(make_txs, n_iters, measure_fresh=True):
     """One workload mix: repeat-verify timings plus the fresh-block
     steady-state (trace + build + prepare + device for a NEW same-shaped
     block with warm compile caches — what serving a stream of blocks
-    actually costs per block)."""
+    actually costs per block).  ``measure_fresh=False`` reuses the first
+    run's own trace/build/prepare timings as the fresh-block figure (an
+    upper bound: that run also paid any cold XLA compiles), halving the
+    cost under a tight budget."""
     r = _run_block_once(make_txs(), n_iters)
     gas_used = r["gas_used"]
     e2e = r["t_prepare"] + r["t_device"]
 
-    t0 = time.time()
-    r2 = _run_block_once(make_txs(), 1)
+    if measure_fresh:
+        r2 = _run_block_once(make_txs(), 1)
+    else:
+        r2 = r
     fresh = (r2["t_trace"] + r2["t_build"] + r2["t_prepare_cold"]
              + r2["t_device"])
     steps = len(r["witness"].steps)
     return {
+        "fresh_block_includes_cold_compiles": not measure_fresh,
         "gas_used": gas_used,
         "steps": steps,
         "groups": len(r["bv"].groups),
@@ -575,38 +581,76 @@ def _bench_block_mix(make_txs, n_iters):
     }
 
 
-def bench_super_jit_1m():
+def _alu_ops_for_budget(remaining_s):
+    """Pick the ALU-mix size the remaining budget can afford.  Cost model
+    (v5e behind the tunnel, warm kernel caches, docs/serving.md): trace
+    ~30k steps/s + build ~eager-pass bound; a (txs=8, ops) mix has
+    8*(4*ops+3) steps and costs roughly steps/9000 seconds end to end
+    including the timed device iterations."""
+    full = int(os.environ.get("BENCH_ALU_OPS", "11000"))
+    for ops in (full, 4000, 1500, 500):
+        steps = 8 * (4 * ops + 3)
+        if steps / 9000.0 + 20.0 < remaining_s:
+            return ops
+    return 0
+
+
+def bench_super_jit_1m(deadline=None):
     """BASELINE config 5 north star: traced ~1M-gas blocks (gas measured
     from the receipt rows, not the txs' gas limits) through the compiled
     whole-block verifier.  TWO workload mixes — SSTORE-heavy (gas-dense,
     few steps) and ALU-heavy (tens of thousands of steps) — with the WORSE
-    gas/s as the headline, so the number is workload-mix honest."""
+    gas/s as the headline, so the number is workload-mix honest.
+
+    Budget-aware: under a deadline the ALU mix shrinks (reported with
+    ``alu_ops_per_tx``/``alu_scaled_down``) and the fresh-block repeat is
+    skipped rather than forfeiting the whole bench (round-4 verdict #1)."""
     n_iters = int(os.environ.get("BENCH_ITERS", "5"))
     n_txs = int(os.environ.get("BENCH_TXS", "7"))
-    alu_steps = int(os.environ.get("BENCH_ALU_OPS", "11000"))
+    full_alu = int(os.environ.get("BENCH_ALU_OPS", "11000"))
 
-    sstore = _bench_block_mix(lambda: _sstore_heavy_txs(n_txs), n_iters)
-    alu = _bench_block_mix(lambda: _alu_heavy_txs(8, alu_steps), n_iters)
-    worse = min(sstore, alu, key=lambda m: m["gas_per_s"])
+    remaining = (None if deadline is None else deadline - time.time())
+    sstore = _bench_block_mix(lambda: _sstore_heavy_txs(n_txs), n_iters,
+                              measure_fresh=(remaining is None
+                                             or remaining > 90))
+
+    if deadline is None:
+        alu_ops = full_alu
+    else:
+        alu_ops = _alu_ops_for_budget(deadline - time.time())
+    detail = {"headline": "min over workload mixes", "sstore_heavy": sstore}
+    if alu_ops > 0:
+        alu = _bench_block_mix(
+            lambda: _alu_heavy_txs(8, alu_ops), n_iters,
+            measure_fresh=(deadline is None
+                           or deadline - time.time() > 2 * (8 * 4 * alu_ops) / 9000.0))
+        alu["alu_ops_per_tx"] = alu_ops
+        alu["alu_scaled_down"] = alu_ops < full_alu
+        detail["alu_heavy"] = alu
+        worse = min(sstore, alu, key=lambda m: m["gas_per_s"])
+    else:
+        detail["alu_heavy"] = {"skipped": "budget exhausted"}
+        worse = sstore
     return {
         "metric": "super_circuit_1m_gas_per_s",
         "value": worse["gas_per_s"],
         "unit": "gas/s",
         "vs_baseline": 1.0,
-        "detail": {
-            "headline": "min over workload mixes",
-            "sstore_heavy": sstore,
-            "alu_heavy": alu,
-        },
+        "detail": detail,
     }
 
 
-def bench_evm_knee():
+def bench_evm_knee(deadline=None):
     """EVM constraint evals/s measured at the compute knee: the batch is
     grown (workload built once at the cap, sliced per size) until the
     device-only iteration time rises materially above the dispatch floor,
     so the reported number reflects kernel throughput, not batch-size
-    accounting (round-2 weakness #1)."""
+    accounting (round-2 weakness #1).
+
+    Budget-aware (round-4 verdict #1): an optional ``deadline`` (absolute
+    time.time()) stops the sweep early — partial sweeps report
+    ``sweep_truncated: true`` — and reps shrink when an iteration block is
+    slow, so the sub-bench degrades instead of forfeiting the run."""
     import numpy as np
     import jax
 
@@ -614,7 +658,7 @@ def bench_evm_knee():
     from zkevm_specs_tpu.evm import ExecutionState
     from zkevm_specs_tpu.runtime.jit import CompiledGroupVerifier
 
-    cap = int(os.environ.get("BENCH_SWEEP_MAX", str(1 << 20)))
+    cap = int(os.environ.get("BENCH_SWEEP_MAX", str(1 << 18)))
     start = int(os.environ.get("BENCH_SWEEP_MIN", "8192"))
     n_iters = int(os.environ.get("BENCH_ITERS", "20"))
     t_setup = time.time()
@@ -627,7 +671,18 @@ def bench_evm_knee():
     knee = None
     n = start
     t_compile_total = 0.0
+    truncated = False
+    last_point_s = 0.0
+    knee_verifier = None
     while n <= cap:
+        if deadline is not None and sweep:
+            # a 2x batch costs ~2x the last point (timed loop scales
+            # linearly; compile is cache-amortized) — stop rather than
+            # start a point that would blow the budget
+            if time.time() + 2.5 * last_point_s > deadline:
+                truncated = True
+                break
+        t_point = time.time()
         verifier = CompiledGroupVerifier(tables, ExecutionState.ADD,
                                          steps[:n], nexts[:n])
         host_args = verifier.prepare_inputs(steps[:n], nexts[:n])
@@ -652,18 +707,23 @@ def bench_evm_knee():
         # the real TPU sits behind a tunnel with multi-hundred-us dispatch
         # jitter; the min over repeated timed blocks filters the RPC noise
         dts = []
-        for _ in range(n_reps):
+        for rep in range(n_reps):
             t0 = time.time()
             for i in range(n_iters):
                 out = verifier(*args_ab[i % n_copies])
             out.block_until_ready()
             dts.append((time.time() - t0) / n_iters)
+            # degrade: one rep over ~8 s means 3 reps of a bigger batch
+            # would eat the whole budget — min-of-fewer-reps is still valid
+            if deadline is not None and dts[-1] * n_iters > 8.0:
+                break
         dt = min(dts)
         assert not np.asarray(out).any(), "benchmark witness failed"
         entry = {"batch": n, "iter_ms": round(dt * 1e3, 3),
                  "evals_per_s": round(verifier.n_constraints * n / dt, 1)}
         sweep.append(entry)
         floor = dt if floor is None else min(floor, dt)
+        last_point_s = time.time() - t_point
         n *= 2
     # report the best SATURATED point — iteration time well clear of the
     # dispatch floor, so the number is kernel throughput rather than a
@@ -675,82 +735,210 @@ def bench_evm_knee():
                     saturated=True)
     else:
         knee = dict(sweep[-1], saturated=False)
+    detail = {
+        "batch": knee["batch"],
+        "iter_ms": knee["iter_ms"],
+        "saturated": knee.get("saturated", False),
+        "sweep": sweep,
+        "sweep_truncated": truncated,
+        "workload_s": round(t_workload, 1),
+        "compile_s": round(t_compile_total, 1),
+    }
+    # flagship-kernel roofline (round-4 verdict #6): XLA's own cost model
+    # for the compiled ADD-group executable at the knee batch, related to
+    # the assumed VPU integer peak.  The kernel is u32 VPU work (Barrett
+    # limb arithmetic), which XLA counts in "flops".
+    try:
+        kv = CompiledGroupVerifier(tables, ExecutionState.ADD,
+                                   steps[:knee["batch"]],
+                                   nexts[:knee["batch"]])
+        ha = kv.prepare_inputs(steps[:knee["batch"]], nexts[:knee["batch"]])
+        ca = kv._jit.lower(*ha).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            VPU_PEAK_OPS = 8 * 128 * 4 * 1.74e9
+            achieved = flops / (knee["iter_ms"] / 1e3)
+            detail["kernel_roofline"] = {
+                "xla_flops_per_iter": flops,
+                "achieved_ops_per_s": round(achieved, 1),
+                "assumed_vpu_peak_u32_ops_per_s": VPU_PEAK_OPS,
+                "pct_of_vpu_peak": round(100.0 * achieved / VPU_PEAK_OPS, 2),
+            }
+    except Exception as e:  # cost model availability varies per backend
+        detail["kernel_roofline"] = {"error": str(e)[:200]}
     return {
         "metric": "evm_constraint_evals_per_s_chip",
         "value": knee["evals_per_s"],
         "unit": "constraint evals/s",
         "vs_baseline": 1.0,
-        "detail": {
-            "batch": knee["batch"],
-            "iter_ms": knee["iter_ms"],
-            "saturated": knee.get("saturated", False),
-            "sweep": sweep,
-            "workload_s": round(t_workload, 1),
-            "compile_s": round(t_compile_total, 1),
-        },
+        "detail": detail,
     }
+
+
+def _vs_baseline_from_sweep(evm, platform):
+    """vs_baseline robust to knee drift (round-4 verdict #7): read the
+    sweep AT the anchor's batch (log-interpolating between bracketing
+    points if the exact batch wasn't swept) instead of dropping the ratio
+    whenever the knee lands elsewhere."""
+    import math
+
+    baseline_path = Path(__file__).parent / "bench_baseline.json"
+    if not baseline_path.exists():
+        return 1.0, "no baseline"
+    base = json.loads(baseline_path.read_text())
+    if not base.get("value"):
+        return 1.0, "empty baseline"
+    if base.get("platform") != platform:
+        return 1.0, (f"platform mismatch ({base.get('platform')} vs "
+                     f"{platform}); ratio omitted")
+    anchor_batch = base.get("batch")
+    sweep = evm["detail"]["sweep"]
+    exact = [e for e in sweep if e["batch"] == anchor_batch]
+    if exact:
+        val = exact[0]["evals_per_s"]
+        note = f"at anchor batch {anchor_batch} on {platform}"
+    else:
+        below = [e for e in sweep if e["batch"] < anchor_batch]
+        above = [e for e in sweep if e["batch"] > anchor_batch]
+        if below and above:
+            lo = max(below, key=lambda e: e["batch"])
+            hi = min(above, key=lambda e: e["batch"])
+            t = ((math.log(anchor_batch) - math.log(lo["batch"]))
+                 / (math.log(hi["batch"]) - math.log(lo["batch"])))
+            val = lo["evals_per_s"] * (1 - t) + hi["evals_per_s"] * t
+            note = (f"log-interpolated at anchor batch {anchor_batch} "
+                    f"between {lo['batch']} and {hi['batch']}")
+        else:
+            near = min(sweep, key=lambda e: abs(math.log(e["batch"])
+                                                - math.log(anchor_batch)))
+            val = near["evals_per_s"]
+            note = (f"anchor batch {anchor_batch} outside sweep; nearest "
+                    f"point {near['batch']} used")
+    return round(val / base["value"], 3), note
 
 
 def bench_default():
-    """Driver default: three driver-captured metrics in one JSON line —
+    """Driver default: the driver-captured metrics in one JSON line —
     (a) EVM evals/s at the compute knee, (b) the ~1M-gas compiled block
-    (BASELINE config 5), (c) Storage/Account state rows/s."""
+    (BASELINE config 5, both mixes), (c) Storage/Account state rows/s,
+    (d) fr-mul + flagship-kernel rooflines.
+
+    Budget-aware and incremental (round-4 verdict #1: the round-4 bench
+    timed out under the driver and left NO artifact): a wall-clock budget
+    (``BENCH_BUDGET_S``, default 420 s) is split across sub-benches, each
+    degrades gracefully when it's tight, and the headline JSON line is
+    RE-PRINTED after every stage — the driver reads the last stdout JSON
+    line, so a kill at any point still leaves a parseable artifact with
+    everything measured so far."""
     import jax
 
-    evm = bench_evm_knee()
-    sj = bench_super_jit_1m()
-    st = bench_state_storage()
-    fr = bench_fr_mul()
-    # roofline accounting (BASELINE "field-mul throughput at speed-of-light"):
-    # one 16x16-bit-limb Barrett Fr mul costs ~1,700 u32 VPU ops (256-term
-    # schoolbook conv + 2 Barrett convs + carry chains, ops/limbs.py:234 +
-    # ops/fr.py:43).  Assumed VPU integer peak for v5e: 8x128 lanes x 4 ALUs
-    # x 1.74 GHz ~= 7.1e12 u32 ops/s (scaling-book VPU model; u32 multiplies
-    # may retire slower than 1/lane/cycle, so pct_of_peak is a lower bound
-    # on true utilization).
-    EST_U32_OPS_PER_MUL = 1700
-    VPU_PEAK_OPS = 8 * 128 * 4 * 1.74e9
-    achieved_ops = fr["value"] * EST_U32_OPS_PER_MUL
-    roofline = {
-        "fr_mul_per_s": fr["value"],
-        "est_u32_ops_per_mul": EST_U32_OPS_PER_MUL,
-        "achieved_u32_ops_per_s": round(achieved_ops, 1),
-        "assumed_vpu_peak_u32_ops_per_s": VPU_PEAK_OPS,
-        "pct_of_vpu_peak": round(100.0 * achieved_ops / VPU_PEAK_OPS, 2),
-    }
+    budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    t_start = time.time()
+    deadline = t_start + budget
+    platform = jax.devices()[0].platform
 
-    baseline_path = Path(__file__).parent / "bench_baseline.json"
-    vs = 1.0
-    base_note = "no baseline"
-    if baseline_path.exists():
-        base = json.loads(baseline_path.read_text())
-        platform = jax.devices()[0].platform
-        if (base.get("platform") == platform
-                and base.get("batch") == evm["detail"]["batch"]
-                and base.get("value")):
-            vs = round(evm["value"] / base["value"], 3)
-            base_note = f"batch {base['batch']} on {platform}"
-        else:
-            base_note = (f"baseline batch/platform mismatch "
-                         f"({base.get('batch')}@{base.get('platform')} vs "
-                         f"{evm['detail']['batch']}@{platform}); ratio omitted")
-    return {
+    result = {
         "metric": "evm_constraint_evals_per_s_chip",
-        "value": evm["value"],
+        "value": None,
         "unit": "constraint evals/s",
-        "vs_baseline": vs,
+        "vs_baseline": 1.0,
         "detail": {
-            "baseline": base_note,
-            "evm_knee": evm["detail"],
-            "super_circuit_1m": {"value": sj["value"], "unit": sj["unit"],
-                                 **sj["detail"]},
-            "state_storage": {"value": st["value"], "unit": st["unit"],
-                              **st.get("detail", {})},
-            "fr_mul_roofline": roofline,
-            "platform": jax.devices()[0].platform,
+            "budget_s": budget,
+            "platform": platform,
             "device": str(jax.devices()[0]),
         },
     }
+
+    def emit():
+        result["detail"]["elapsed_s"] = round(time.time() - t_start, 1)
+        print(json.dumps(result), flush=True)
+
+    # -- stage 1: the headline knee (reserve tail budget for the rest) ----
+    try:
+        evm = bench_evm_knee(deadline=deadline - 0.35 * budget)
+        result["value"] = evm["value"]
+        result["detail"]["evm_knee"] = evm["detail"]
+        vs, note = _vs_baseline_from_sweep(evm, platform)
+        result["vs_baseline"] = vs
+        result["detail"]["baseline"] = note
+    except Exception as e:
+        result["detail"]["evm_knee"] = {"error": str(e)[:300]}
+    emit()
+
+    # -- stage 2: fr-mul roofline (fast; BASELINE "speed-of-light" row) ---
+    try:
+        fr = bench_fr_mul()
+        # one 16x16-bit-limb Barrett Fr mul costs ~1,700 u32 VPU ops
+        # (256-term schoolbook conv + 2 Barrett convs + carry chains,
+        # ops/limbs.py:234 + ops/fr.py:43).  Assumed VPU integer peak for
+        # v5e: 8x128 lanes x 4 ALUs x 1.74 GHz ~= 7.1e12 u32 ops/s
+        # (scaling-book VPU model; a lower bound on true utilization).
+        EST_U32_OPS_PER_MUL = 1700
+        VPU_PEAK_OPS = 8 * 128 * 4 * 1.74e9
+        achieved_ops = fr["value"] * EST_U32_OPS_PER_MUL
+        result["detail"]["fr_mul_roofline"] = {
+            "fr_mul_per_s": fr["value"],
+            "est_u32_ops_per_mul": EST_U32_OPS_PER_MUL,
+            "achieved_u32_ops_per_s": round(achieved_ops, 1),
+            "assumed_vpu_peak_u32_ops_per_s": VPU_PEAK_OPS,
+            "pct_of_vpu_peak": round(100.0 * achieved_ops / VPU_PEAK_OPS, 2),
+        }
+    except Exception as e:
+        result["detail"]["fr_mul_roofline"] = {"error": str(e)[:300]}
+    emit()
+
+    # -- stage 3: state circuit (storage/account rows) --------------------
+    try:
+        st = bench_state_storage()
+        result["detail"]["state_storage"] = {
+            "value": st["value"], "unit": st["unit"], **st.get("detail", {})}
+    except Exception as e:
+        result["detail"]["state_storage"] = {"error": str(e)[:300]}
+    emit()
+
+    # -- stage 4: the ~1M-gas block mixes (budget gets whatever is left;
+    # emit between the two mixes so a kill during the slow ALU mix keeps
+    # the SSTORE result) -------------------------------------------------
+    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+    n_txs = int(os.environ.get("BENCH_TXS", "7"))
+    full_alu = int(os.environ.get("BENCH_ALU_OPS", "11000"))
+    sc = {"headline": "min over workload mixes", "unit": "gas/s"}
+    result["detail"]["super_circuit_1m"] = sc
+    sstore = None
+    try:
+        remaining = deadline - time.time()
+        if remaining > 30:
+            sstore = _bench_block_mix(
+                lambda: _sstore_heavy_txs(n_txs), n_iters,
+                measure_fresh=remaining > 120)
+            sc["sstore_heavy"] = sstore
+            sc["value"] = sstore["gas_per_s"]
+        else:
+            sc["sstore_heavy"] = {"skipped": "budget exhausted"}
+    except Exception as e:
+        sc["sstore_heavy"] = {"error": str(e)[:300]}
+    emit()
+    try:
+        alu_ops = _alu_ops_for_budget(deadline - time.time())
+        if alu_ops > 0:
+            alu = _bench_block_mix(
+                lambda: _alu_heavy_txs(8, alu_ops), n_iters,
+                measure_fresh=(deadline - time.time()
+                               > 2 * (8 * 4 * alu_ops) / 9000.0))
+            alu["alu_ops_per_tx"] = alu_ops
+            alu["alu_scaled_down"] = alu_ops < full_alu
+            sc["alu_heavy"] = alu
+            worse = (alu if sstore is None
+                     else min(sstore, alu, key=lambda m: m["gas_per_s"]))
+            sc["value"] = worse["gas_per_s"]
+        else:
+            sc["alu_heavy"] = {"skipped": "budget exhausted"}
+    except Exception as e:
+        sc["alu_heavy"] = {"error": str(e)[:300]}
+    emit()
+    return result
 
 
 def main():
@@ -759,7 +947,7 @@ def main():
     _apply_platform_env()
     mode = os.environ.get("BENCH_MODE", "default")
     if mode == "default":
-        print(json.dumps(bench_default()))
+        bench_default()  # prints incrementally; last line is the artifact
         return
     if mode == "super_jit_1m":
         print(json.dumps(bench_super_jit_1m()))
