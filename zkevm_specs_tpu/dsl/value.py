@@ -90,11 +90,31 @@ class F:
         Well-formed witnesses respect the bound (shape-stable for jit);
         malformed ones (negative-test vectors) auto-widen instead of
         crashing, so range constraints can reject them."""
-        vals = [int(v) % fr.P for v in values]
-        real_bits = max([max(v.bit_length(), 1) for v in vals], default=1)
+        P = fr.P
+        # skip the big-int mod for already-canonical ints (the witness-build
+        # hot path: millions of values per block)
+        vals = [v if (type(v) is int and 0 <= v < P) else int(v) % P
+                for v in values]
+        w = width_for_bits(bits)
+        try:
+            arr = L.ints_to_limbs(vals, w)
+        except AssertionError:
+            arr = L.ints_to_limbs(vals, width_for_bits(254))
+        # exact real bound from the limb array (vectorized — the per-value
+        # Python bit_length() scan dominated from_ints profiles)
+        nz = np.flatnonzero(arr.any(axis=0))
+        if nz.size == 0:
+            real_bits = 1
+        else:
+            k = int(nz[-1])
+            real_bits = k * L.LIMB_BITS + int(arr[:, k].max()).bit_length()
         bits = max(bits, real_bits)
         w = width_for_bits(bits)
-        return F(ctx, ctx.xp.asarray(L.ints_to_limbs(vals, w)), bits)
+        if arr.shape[1] > w:
+            arr = arr[:, :w]
+        elif arr.shape[1] < w:
+            arr = L.pad_limbs(np, arr, w)
+        return F(ctx, ctx.xp.asarray(arr), bits)
 
     @staticmethod
     def from_bool(ctx: Ctx, mask) -> "F":

@@ -42,16 +42,75 @@ def add(p1: Point, p2: Point) -> Point:
     return (x3, y3)
 
 
+_J_INF = (0, 1, 0)  # Jacobian infinity (Z == 0)
+
+
+def _jdouble(p):
+    """Jacobian doubling (a = 0 curve): 2M + 5S, no inversion."""
+    X1, Y1, Z1 = p
+    if Z1 == 0 or Y1 == 0:
+        return _J_INF
+    A = X1 * X1 % P
+    B = Y1 * Y1 % P
+    C = B * B % P
+    D = 2 * ((X1 + B) * (X1 + B) - A - C) % P
+    E = 3 * A % P
+    F = E * E % P
+    X3 = (F - 2 * D) % P
+    Y3 = (E * (D - X3) - 8 * C) % P
+    Z3 = 2 * Y1 * Z1 % P
+    return (X3, Y3, Z3)
+
+
+def _jadd(p, q):
+    """Jacobian addition: 11M + 5S, no inversion."""
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    if Z1 == 0:
+        return q
+    if Z2 == 0:
+        return p
+    Z1Z1 = Z1 * Z1 % P
+    Z2Z2 = Z2 * Z2 % P
+    U1 = X1 * Z2Z2 % P
+    U2 = X2 * Z1Z1 % P
+    S1 = Y1 * Z2 * Z2Z2 % P
+    S2 = Y2 * Z1 * Z1Z1 % P
+    if U1 == U2:
+        if S1 != S2:
+            return _J_INF
+        return _jdouble(p)
+    H = (U2 - U1) % P
+    I = 4 * H * H % P
+    J = H * I % P
+    r = 2 * (S2 - S1) % P
+    V = U1 * I % P
+    X3 = (r * r - J - 2 * V) % P
+    Y3 = (r * (V - X3) - 2 * S1 * J) % P
+    Z3 = 2 * H * Z1 * Z2 % P
+    return (X3, Y3, Z3)
+
+
 def mul(p: Point, k: int) -> Point:
+    """Scalar mul via Jacobian double-and-add: ONE field inversion total
+    (the affine ladder paid a ~256-bit pow per point add, which made tx
+    signing the tracer's top remaining cost)."""
     k %= N
-    result: Point = None
-    addend = p
+    if p is None or k == 0:
+        return None
+    acc = _J_INF
+    addend = (p[0], p[1], 1)
     while k:
         if k & 1:
-            result = add(result, addend)
-        addend = add(addend, addend)
+            acc = _jadd(acc, addend)
+        addend = _jdouble(addend)
         k >>= 1
-    return result
+    X, Y, Z = acc
+    if Z == 0:
+        return None
+    zi = _inv(Z, P)
+    zi2 = zi * zi % P
+    return (X * zi2 % P, Y * zi2 * zi % P)
 
 
 def is_on_curve(p: Point) -> bool:

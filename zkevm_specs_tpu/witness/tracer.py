@@ -21,7 +21,14 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple
 
 from ..evm.execution_state import ExecutionState
-from ..evm.opcode import Opcode, constant_gas_cost, get_push_size, is_push_with_data
+from ..evm.opcode import (
+    Opcode,
+    constant_gas_cost,
+    get_push_size,
+    is_push_with_data,
+    max_stack_pointer,
+    min_stack_pointer,
+)
 from ..evm.step import StepState
 from ..ops.keccak import keccak256
 from ..tables.schemas import (
@@ -35,12 +42,21 @@ from ..tables.schemas import (
 from ..utils.param import (
     COLD_SLOAD_COST,
     EXTRA_GAS_COST_ACCOUNT_COLD_ACCESS,
+    GAS_COST_ACCOUNT_COLD_ACCESS,
+    GAS_COST_CODE_DEPOSIT,
     GAS_COST_COPY,
     GAS_COST_COPY_SHA3,
     GAS_COST_EXP_PER_BYTE,
+    GAS_COST_FASTEST,
     GAS_COST_LOG,
     GAS_COST_LOGDATA,
+    GAS_COST_SHA3,
+    GAS_COST_SLOW,
+    GAS_COST_SSTORE_SENTRY_EIP2200,
     GAS_COST_TX,
+    GAS_COST_WARM_ACCESS,
+    INVALID_FIRST_BYTE_CONTRACT_CODE,
+    MAX_CODE_SIZE,
     MAX_REFUND_QUOTIENT_OF_GAS_USED,
     SLOAD_GAS,
     SSTORE_CLEARS_SCHEDULE,
@@ -521,38 +537,27 @@ class _Tracer:
     def _detect_error(self, raw: int) -> Optional[ExecutionState]:
         """Pre-dispatch error classification (geth order: invalid opcode,
         stack validation, write protection, constant gas, then the
-        per-opcode dynamic-gas / runtime checks)."""
-        from ..evm.opcode import max_stack_pointer, min_stack_pointer
-        from ..utils.param import (
-            GAS_COST_ACCOUNT_COLD_ACCESS,
-            GAS_COST_COPY,
-            GAS_COST_COPY_SHA3,
-            GAS_COST_EXP_PER_BYTE,
-            GAS_COST_FASTEST,
-            GAS_COST_SHA3,
-            GAS_COST_SLOW,
-            GAS_COST_SSTORE_SENTRY_EIP2200,
-            GAS_COST_WARM_ACCESS,
-            SLOAD_GAS,
-            SSTORE_RESET_GAS,
-            SSTORE_SET_GAS,
-        )
+        per-opcode dynamic-gas / runtime checks).
 
+        Hot path: one table lookup per check (256-entry arrays built at
+        import) and an immediate exit for the opcode majority that has no
+        dynamic check — the tracer runs this for EVERY step."""
         E = ExecutionState
-        try:
-            op = Opcode(raw)
-        except ValueError:
+        op = _OP_BY_RAW[raw]
+        if op is None:
             return E.ErrorInvalidOpcode
         sp = 1024 - len(self.stack)
-        if sp < min_stack_pointer(op) or sp > max_stack_pointer(op):
+        if sp < _MIN_SP[raw] or sp > _MAX_SP[raw]:
             return E.ErrorStack
         if self.is_static and (
                 op in self._WRITE_PROTECTED
-                or (op == Opcode.CALL and self.stack[-3] != 0)):
+                or (op is Opcode.CALL and self.stack[-3] != 0)):
             return E.ErrorWriteProtection
         gas = self.gas_left
-        if gas < constant_gas_cost(op):
+        if gas < _CONST_GAS[raw]:
             return E.ErrorOutOfGasConstant
+        if not _HAS_DYNAMIC_CHECK[raw]:
+            return None
         st = self.stack  # top is st[-1]
         if op in (Opcode.JUMP, Opcode.JUMPI):
             jumps = op == Opcode.JUMP or st[-2] != 0
@@ -571,12 +576,6 @@ class _Tracer:
             if gas < GAS_COST_FASTEST + self._expansion_gas(st[-1], size):
                 return E.ErrorOutOfGasStaticMemoryExpansion
         elif op in (Opcode.RETURN, Opcode.REVERT):
-            from ..utils.param import (
-                GAS_COST_CODE_DEPOSIT,
-                INVALID_FIRST_BYTE_CONTRACT_CODE,
-                MAX_CODE_SIZE,
-            )
-
             offset, length = st[-1], st[-2]
             exp_gas = self._expansion_gas(offset if length else 0, length)
             if gas < exp_gas:
@@ -643,11 +642,7 @@ class _Tracer:
             if gas < need:
                 return E.ErrorOutOfGasSHA3
         elif op in (Opcode.CREATE, Opcode.CREATE2) and not self.is_root:
-            from ..utils.param import (
-                GAS_COST_COPY_SHA3,
-                GAS_COST_CREATE,
-                GAS_COST_INITCODE_WORD,
-            )
+            from ..utils.param import GAS_COST_CREATE, GAS_COST_INITCODE_WORD
 
             offset, size = st[-2], st[-3]
             words = (size + 31) // 32
@@ -697,17 +692,15 @@ class _Tracer:
                 and self.code.is_code[dest])
 
     def step_op(self):
-        raw = (self.code.code[self.pc] if self.pc < len(self.code.code)
-               else int(Opcode.STOP))
+        code = self.code.code
+        raw = code[self.pc] if self.pc < len(code) else 0  # STOP
         err = self._detect_error(raw)
         if err is not None:
             state = err
         else:
-            op = Opcode(raw)
-            state = (
-                ExecutionState.PUSH if is_push_with_data(op) or op == Opcode.PUSH0
-                else _STATE_BY_OPCODE[op]
-            )
+            state = _FAST_STATE[raw]
+            if state is None:  # unmapped valid opcode — same KeyError as before
+                state = _STATE_BY_OPCODE[Opcode(raw)]
         sp = 1024 - len(self.stack)
         self.w.steps.append(
             StepState(state, self.rw.rw_counter, call_id=self.call_id,
@@ -721,24 +714,12 @@ class _Tracer:
         if err is not None:
             self._halt_error(err, raw)
             return
-        self.gas_left -= constant_gas_cost(op)
-        handler = _HANDLERS.get(op)
+        self.gas_left -= _CONST_GAS[raw]
+        handler = _FAST_HANDLER[raw]
         if handler is None:
-            if is_push_with_data(op) or op == Opcode.PUSH0:
-                handler = _Tracer.op_push
-            elif Opcode.DUP1 <= op <= Opcode.DUP16:
-                handler = _Tracer.op_dup
-            elif Opcode.SWAP1 <= op <= Opcode.SWAP16:
-                handler = _Tracer.op_swap
-            elif op in _ALU_BINARY or op in (Opcode.NOT, Opcode.ISZERO):
-                handler = _Tracer.op_alu
-            elif op in (Opcode.ADDMOD, Opcode.MULMOD):
-                handler = _Tracer.op_mod3
-            elif op in _BLOCK_CTX_OPS:
-                handler = _Tracer.op_blockctx
-            else:
-                raise NotImplementedError(f"tracer: no handler for {op!r}")
-        handler(self, op)
+            raise NotImplementedError(
+                f"tracer: no handler for {Opcode(raw)!r}")
+        handler(self, _OP_BY_RAW[raw])
 
     def _halt_error(self, state: ExecutionState, raw: int):
         """Emit an error-halt's rows and unwind the frame: gadget-specific
@@ -2509,6 +2490,53 @@ _HANDLERS = {
     Opcode.DELEGATECALL: _Tracer.op_callop,
     Opcode.STATICCALL: _Tracer.op_callop,
 }
+
+# -- hot-path dispatch tables -------------------------------------------------
+# step_op/_detect_error run once per traced step; 256-entry arrays indexed by
+# the raw byte replace enum construction and chained membership tests (the
+# per-step Python interpreter is the host-bound term on step-dense blocks).
+_OP_BY_RAW: List[Optional[Opcode]] = [None] * 256
+_MIN_SP = [0] * 256
+_MAX_SP = [1024] * 256
+_CONST_GAS = [0] * 256
+_FAST_STATE: List[Optional[ExecutionState]] = [None] * 256
+_FAST_HANDLER: List[Optional[object]] = [None] * 256
+# raw bytes with a per-opcode dynamic-gas / runtime branch in _detect_error
+_HAS_DYNAMIC_CHECK = [False] * 256
+for _o in Opcode:
+    _raw = int(_o)
+    _OP_BY_RAW[_raw] = _o
+    _MIN_SP[_raw] = min_stack_pointer(_o)
+    _MAX_SP[_raw] = max_stack_pointer(_o)
+    _CONST_GAS[_raw] = constant_gas_cost(_o)
+    if is_push_with_data(_o) or _o is Opcode.PUSH0:
+        _FAST_STATE[_raw] = ExecutionState.PUSH
+        _FAST_HANDLER[_raw] = _Tracer.op_push
+    else:
+        _FAST_STATE[_raw] = _STATE_BY_OPCODE.get(_o)
+        _h = _HANDLERS.get(_o)
+        if _h is None:
+            if Opcode.DUP1 <= _o <= Opcode.DUP16:
+                _h = _Tracer.op_dup
+            elif Opcode.SWAP1 <= _o <= Opcode.SWAP16:
+                _h = _Tracer.op_swap
+            elif _o in _ALU_BINARY or _o in (Opcode.NOT, Opcode.ISZERO):
+                _h = _Tracer.op_alu
+            elif _o in (Opcode.ADDMOD, Opcode.MULMOD):
+                _h = _Tracer.op_mod3
+            elif _o in _BLOCK_CTX_OPS:
+                _h = _Tracer.op_blockctx
+        _FAST_HANDLER[_raw] = _h
+for _o in (
+    Opcode.JUMP, Opcode.JUMPI, Opcode.BALANCE, Opcode.EXTCODESIZE,
+    Opcode.EXTCODEHASH, Opcode.MLOAD, Opcode.MSTORE, Opcode.MSTORE8,
+    Opcode.RETURN, Opcode.REVERT, Opcode.CALLDATACOPY, Opcode.CODECOPY,
+    Opcode.EXTCODECOPY, Opcode.RETURNDATACOPY, Opcode.SLOAD, Opcode.SSTORE,
+    Opcode.LOG0, Opcode.LOG1, Opcode.LOG2, Opcode.LOG3, Opcode.LOG4,
+    Opcode.EXP, Opcode.SHA3, Opcode.CREATE, Opcode.CREATE2,
+    Opcode.CALL, Opcode.CALLCODE, Opcode.DELEGATECALL, Opcode.STATICCALL,
+):
+    _HAS_DYNAMIC_CHECK[int(_o)] = True
 
 
 def _derive_tx_key(tx_id: int) -> int:

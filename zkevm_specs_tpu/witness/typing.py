@@ -48,13 +48,21 @@ def _opcode_mod():
 WordInt = int  # 256-bit value as int
 
 
+_U256_LIMIT = 1 << 256
+
+
 def _to_int(v) -> int:
     """Witness values are raw ints (words up to 2^256); field reduction only
     happens on circuit-side tensors, never on stored witness rows."""
+    if type(v) is int:  # hot path: millions of calls per traced block
+        if 0 <= v < _U256_LIMIT:
+            return v
+        assert v == -1
+        return P - 1
     if isinstance(v, RLC):
         return v.int_value
     v = int(v)
-    assert -1 <= v < (1 << 256)
+    assert -1 <= v < _U256_LIMIT
     return v % P if v < 0 else v
 
 
