@@ -268,6 +268,24 @@ def test_block_oog_account_access():
     _error_block(callee, 300, ExecutionState.ErrorOutOfGasAccountAccess)
 
 
+def test_block_oog_account_access_dirty_address():
+    """A BALANCE operand with bits above 160 set: geth truncates the
+    address, so the traced access-list key is the low 160 bits and the
+    gadget (word_to_address_truncated) still proves the step (ADVICE r4)."""
+    dirty = (0xDEAD << 160) | 0xAB
+    callee = Bytecode().push32(dirty).balance()
+    _error_block(callee, 300, ExecutionState.ErrorOutOfGasAccountAccess)
+
+
+def test_block_oog_memory_copy_dirty_extcodecopy_address():
+    """EXTCODECOPY OOG with a dirty-high-bit external address: the warm-set
+    key and access-list row use the truncated 160-bit address."""
+    dirty = (0xBEEF << 160) | 0xCD
+    callee = (Bytecode().push3(0x100000).push1(0).push1(0)
+              .push32(dirty).extcodecopy())
+    _error_block(callee, 5000, ExecutionState.ErrorOutOfGasMemoryCopy)
+
+
 def test_block_oog_static_memory_expansion():
     callee = Bytecode().push1(0).push3(0x100000).mstore()
     _error_block(callee, 5000, ExecutionState.ErrorOutOfGasStaticMemoryExpansion)

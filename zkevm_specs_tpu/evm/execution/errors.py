@@ -127,7 +127,11 @@ def error_oog_account_access(instruction: Instruction):
     )
     instruction.constrain_equal(instruction.sum(sels), 1)
 
-    address = instruction.word_to_fq(instruction.stack_pop(), N_BYTES_ACCOUNT_ADDRESS)
+    # truncating (geth semantics): a dirty-high-bit operand still keys the
+    # access list by its low 160 bits (deviation noted in
+    # word_to_address_truncated; reference error_oog_account_access.py
+    # rejects such words)
+    address = instruction.word_to_address_truncated(instruction.stack_pop())
     tx_id = instruction.call_context_lookup(CallContextFieldTag.TxId)
     is_warm = instruction.read_account_to_access_list(tx_id, address)
     gas_cost = instruction.select(
@@ -192,8 +196,9 @@ def error_oog_memory_copy(instruction: Instruction):
         # deviation: the reference narrows the external address to
         # N_BYTES_MEMORY_ADDRESS (error_oog_memory_copy.py:41), which rejects
         # any real 20-byte address (its own test dodges this with 0xCAFECAFE);
-        # we use the full account-address width
-        address = instruction.word_to_address(external_address)
+        # we use the full account-address width, truncating high bits like
+        # geth (word_to_address_truncated)
+        address = instruction.word_to_address_truncated(external_address)
         tx_id = instruction.call_context_lookup(CallContextFieldTag.TxId)
         is_warm = instruction.read_account_to_access_list(tx_id, address)
         constant_gas = instruction.select(

@@ -697,6 +697,22 @@ class Instruction:
     def word_to_address(self, word: Word) -> F:
         return self.word_to_fq(word, N_BYTES_ACCOUNT_ADDRESS)
 
+    def word_to_address_truncated(self, word: Word) -> F:
+        """Low 160 bits of the word WITHOUT constraining the high bits —
+        geth truncates address operands, so a stack word with dirty bits
+        above 160 must stay provable where the gadget only derives an
+        access-list key from it (documented deviation: the reference's
+        error_oog_* gadgets use the rejecting word_to_fq and its tests
+        only feed clean addresses)."""
+        from ..dsl.value import trim, width_for_bits
+
+        lo32_hi = F(self.ctx, trim(word.hi.limbs, 2), min(32, word.hi.bits))
+        full = word.lo + lo32_hi * F.const(self.ctx, 1 << 128)
+        return F(self.ctx,
+                 trim(full.widen(16).limbs,
+                      width_for_bits(8 * N_BYTES_ACCOUNT_ADDRESS)),
+                 8 * N_BYTES_ACCOUNT_ADDRESS)
+
     def word_to_u64(self, word: Word) -> F:
         return self.word_to_fq(word, 8)
 

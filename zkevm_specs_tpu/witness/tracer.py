@@ -75,6 +75,7 @@ from .typing import (
 )
 
 U256M = (1 << 256) - 1
+_ADDR_MASK = (1 << 160) - 1  # geth truncates address operands to 160 bits
 U255 = 1 << 255
 
 _STATE_BY_OPCODE = {
@@ -564,7 +565,7 @@ class _Tracer:
             if jumps and not self._valid_jumpdest(st[-1]):
                 return E.ErrorInvalidJump
         elif op in (Opcode.BALANCE, Opcode.EXTCODESIZE, Opcode.EXTCODEHASH):
-            warm = st[-1] in self.warm_addr
+            warm = (st[-1] & _ADDR_MASK) in self.warm_addr
             need = GAS_COST_WARM_ACCESS if warm else GAS_COST_ACCOUNT_COLD_ACCESS
             if gas < need:
                 return E.ErrorOutOfGasAccountAccess
@@ -593,7 +594,7 @@ class _Tracer:
             base = -2 if op == Opcode.EXTCODECOPY else -1
             mem_off, length = st[base], st[base - 2]
             if op == Opcode.EXTCODECOPY:
-                warm = st[-1] in self.warm_addr
+                warm = (st[-1] & _ADDR_MASK) in self.warm_addr
                 const = GAS_COST_WARM_ACCESS if warm else GAS_COST_ACCOUNT_COLD_ACCESS
             else:
                 const = GAS_COST_FASTEST
@@ -744,7 +745,10 @@ class _Tracer:
             if Opcode(raw) == Opcode.CALL:
                 sread(2)
         elif state == E.ErrorOutOfGasAccountAccess:
-            addr = self.spop()
+            # geth truncates address operands to 160 bits before keying the
+            # access list (ADVICE r4: a dirty-high-bit stack word must not
+            # diverge the warm-set key)
+            addr = self.spop() & _ADDR_MASK
             self.cc_read(CallContextFieldTag.TxId, self.tx_id)
             rw.tx_access_list_account_read(self.tx_id, addr,
                                            addr in self.warm_addr)
@@ -762,8 +766,9 @@ class _Tracer:
             sread(off + 2)
             if Opcode(raw) == Opcode.EXTCODECOPY:
                 self.cc_read(CallContextFieldTag.TxId, self.tx_id)
-                rw.tx_access_list_account_read(self.tx_id, st[-1],
-                                               st[-1] in self.warm_addr)
+                ext = st[-1] & _ADDR_MASK  # geth address truncation
+                rw.tx_access_list_account_read(self.tx_id, ext,
+                                               ext in self.warm_addr)
         elif state == E.ErrorReturnDataOutOfBound:
             sread(1)
             sread(2)
