@@ -15,13 +15,16 @@ lint:
 mypy:
 	$(PYTHON) -m mypy zkevm_specs_tpu
 
+# -n 2 --dist loadscope: two xdist workers (the suite is dominated by
+# single-threaded host passes and XLA compiles), modules kept together so
+# workers reuse each other's in-process kernel caches
+PYTEST_PAR ?= -n 2 --dist loadscope
+
 test:
-	$(PYTHON) -m pytest tests/ -q
+	$(PYTHON) -m pytest tests/ -q $(PYTEST_PAR)
 
 test-fast:
-	$(PYTHON) -m pytest tests/ -q -m "not slow" \
-	  --ignore=tests/test_block_jit.py --ignore=tests/test_jit_runner.py \
-	  --ignore=tests/test_sharding.py --ignore=tests/test_logup_sharded.py
+	$(PYTHON) -m pytest tests/ -q $(PYTEST_PAR) -m "not slow"
 
 bench:
 	JAX_PLATFORMS=cpu BENCH_MODE=evm BENCH_STEPS=1024 BENCH_ITERS=5 $(PYTHON) bench.py

@@ -61,21 +61,27 @@ def _bound_live_executables(request):
 
 
 # The two heaviest modules compile enough programs PER TEST that the arena
-# can abort mid-module; clear after every test there.  Recompiles are
-# served from the persistent disk cache (the fused pass is chunked into
-# sub-60s programs precisely so they remain cacheable, runtime/block.py
-# make_combined).
-_CLEAR_EACH_TEST = {"test_block_jit", "test_jit_runner"}
+# can abort mid-module.  Clearing after EVERY test there forced constant
+# recompiles-from-disk and dominated the single-invocation suite wall clock
+# (round-4 weak #3); clearing every N tests still bounds the live-program
+# count at ~N x the per-test maximum while letting consecutive tests share
+# compiled kernels.
+_CLEAR_EVERY_N_TESTS = {"test_block_jit": 3, "test_jit_runner": 3}
+_clear_counters: dict = {}
 
 
 @pytest.fixture(autouse=True)
 def _bound_live_executables_per_test(request):
     yield
-    if getattr(request.module, "__name__", "") in _CLEAR_EACH_TEST:
-        import gc
+    name = getattr(request.module, "__name__", "")
+    n = _CLEAR_EVERY_N_TESTS.get(name)
+    if n is not None:
+        _clear_counters[name] = _clear_counters.get(name, 0) + 1
+        if _clear_counters[name] % n == 0:
+            import gc
 
-        jax.clear_caches()
-        gc.collect()
+            jax.clear_caches()
+            gc.collect()
 
 
 def pytest_configure(config):

@@ -467,3 +467,38 @@ def test_callop_huge_offsets_zero_length(op):
 @pytest.mark.parametrize("depth", [1024])
 def test_callop_depth_boundary_ok(op, depth):
     build_callop_vector(op, depth=depth)
+
+
+# -- the reference's full cartesian product (test_callop.py:340-404:
+#    opcodes x callees x call_contexts x stacks x warm): each dimension is
+#    swept in isolation above; this is the combined product, which is what
+#    shakes out cross-term bugs (e.g. expansion gas under a reverting
+#    caller with a value transfer) ----------------------------------------
+
+_CTX_CASES = [
+    # (persistent, rev0, mws0) — reference call_contexts
+    (True, 5, 8),
+    (False, 2, 0),
+]
+_STACK_CASES = [
+    # (value, gas_arg, cd, rd) — reference stacks
+    (0, 0xFFFF, (0, 0), (0, 0)),
+    (int(1e15), 100000, (0, 0), (0, 0)),
+    (int(1e15), 100, (64, 320), (0, 32)),
+    (0, 0xFFFF, (0xFFFFFF, 0), (0xFFFFFF, 0)),
+]
+
+
+@pytest.mark.parametrize("op", CALL_OPS)
+@pytest.mark.parametrize("ctx_i", range(len(_CTX_CASES)))
+@pytest.mark.parametrize("stack_i", range(len(_STACK_CASES)))
+@pytest.mark.parametrize("is_warm", [False, True])
+@pytest.mark.parametrize("callee_kind", ["stop", "empty"])
+def test_callop_full_product(op, ctx_i, stack_i, is_warm, callee_kind):
+    persistent, rev0, mws0 = _CTX_CASES[ctx_i]
+    value, gas_arg, cd, rd = _STACK_CASES[stack_i]
+    if op not in (Opcode.CALL, Opcode.CALLCODE):
+        value = 0  # no value operand for DELEGATECALL/STATICCALL
+    build_callop_vector(op, is_warm=is_warm, callee_kind=callee_kind,
+                        value=value, gas_arg=gas_arg, cd=cd, rd=rd,
+                        mws0=mws0, persistent=persistent, rev0=rev0)

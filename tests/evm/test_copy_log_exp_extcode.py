@@ -495,3 +495,171 @@ def test_log(n_topics, msize, mstart):
         ),
     ]
     verify_steps(tables=tables, steps=steps)
+
+
+# -- EXTCODECOPY full matrix (reference tests/evm/test_extcodecopy.py
+#    TESTING_DATA: code length {0,2,256} x warm x exists, plus the
+#    out-of-bound (src past code end, length 260) rows) ---------------------
+
+def _raw_code(n: int) -> "Bytecode":
+    """n bytes of deterministic non-PUSH opcodes (all < 0x60, so every
+    byte is code and the unrolled is_code flags are trivially consistent)."""
+    bc = Bytecode()
+    for i in range(n):
+        bc.code.append((i * 7 + 3) % 0x60)
+        bc.is_code.append(True)
+    return bc
+
+
+@pytest.mark.parametrize("exists", [True, False])
+@pytest.mark.parametrize("warm", [True, False])
+@pytest.mark.parametrize("code_len,code_offset,length", [
+    (0, 0, 54),       # empty code: all zero-padding
+    (2, 0, 54),       # short code + padding tail
+    (256, 0, 54),     # code longer than the copy
+    (64, 0x20, 260),  # out of bound: src crosses the end of the code
+])
+def test_extcodecopy_matrix(exists, warm, code_len, code_offset, length):
+    from common import rand_fq
+
+    r = rand_fq()
+    addr = 0x30000
+    memory_offset = 0
+    ext_code = _raw_code(code_len)
+    ext_hash = ext_code.hash() if exists else 0
+    ext_size = len(ext_code.code) if exists else 0
+
+    bytecode = (
+        Bytecode()
+        .push(length, n_bytes=32).push(code_offset, n_bytes=32)
+        .push(memory_offset, n_bytes=32).push(addr, n_bytes=32)
+        .extcodecopy().stop()
+    )
+    h = bytecode.hash()
+
+    rw = (
+        RWDictionary(9)
+        .stack_read(1, 1020, addr)
+        .stack_read(1, 1021, memory_offset)
+        .stack_read(1, 1022, code_offset)
+        .stack_read(1, 1023, length)
+        .call_context_read(1, CallContextFieldTag.TxId, 1)
+        .call_context_read(1, CallContextFieldTag.RwCounterEndOfReversion, 0)
+        .call_context_read(1, CallContextFieldTag.IsPersistent, 1)
+        .tx_access_list_account_write(1, addr, True, warm)
+        .account_read(addr, AccountFieldTag.CodeHash, ext_hash)
+    )
+    copy_circuit = CopyCircuit()
+    if length:
+        src_data = {
+            code_offset + i: (ext_code.code[code_offset + i],
+                              int(ext_code.is_code[code_offset + i]))
+            for i in range(length)
+            if code_offset + i < ext_size
+        }
+        copy_circuit.copy(
+            r, rw, ext_hash, CopyDataTypeTag.Bytecode, 1,
+            CopyDataTypeTag.Memory, code_offset, ext_size, memory_offset,
+            length, src_data,
+        )
+    n_rw = rw.rw_counter - 9
+
+    next_mem, mem_gas = memory_expansion(
+        0, memory_offset + length if length else 0)
+    gas = (constant_gas_cost(Opcode.EXTCODECOPY) + mem_gas
+           + GAS_COST_COPY * ((length + 31) // 32)
+           + (0 if warm else EXTRA_GAS_COST_ACCOUNT_COLD_ACCESS))
+    bytecode_rows = list(bytecode.table_assignments())
+    if exists:
+        bytecode_rows += list(ext_code.table_assignments())
+    tables = Tables(
+        block_table=Block().table_assignments(),
+        bytecode_table=bytecode_rows,
+        rw_table=rw.rws,
+        copy_table=copy_circuit_to_table(copy_circuit),
+    )
+    steps = [
+        StepState(
+            execution_state=ExecutionState.EXTCODECOPY, rw_counter=9,
+            call_id=1, is_root=True, code_hash=h, program_counter=132,
+            stack_pointer=1020, gas_left=gas,
+        ),
+        StepState(
+            execution_state=ExecutionState.STOP, rw_counter=9 + n_rw,
+            call_id=1, is_root=True, code_hash=h, program_counter=133,
+            stack_pointer=1024, gas_left=0, memory_word_size=next_mem,
+            reversible_write_counter=1,
+        ),
+    ]
+    verify_steps(tables=tables, steps=steps)
+
+
+# -- RETURNDATACOPY boundary sweep (reference tests/evm/
+#    test_returndatacopy.py TESTING_DATA: dest_offset x offset x size x
+#    returndata region) ------------------------------------------------------
+
+@pytest.mark.parametrize("dest_offset,data_offset,size,rd_offset,rd_len", [
+    (0, 0, 32, 0, 32),      # whole region, aligned
+    (100, 0, 32, 0, 32),    # unaligned destination
+    (0, 0, 32, 100, 32),    # returndata deep in callee memory
+    (100, 31, 1, 100, 32),  # single tail byte, both sides unaligned
+    (64, 8, 16, 32, 32),    # interior slice
+    (0, 0, 1, 0, 1),        # minimal region
+])
+def test_returndatacopy_matrix(dest_offset, data_offset, size, rd_offset,
+                               rd_len):
+    from common import rand_fq
+
+    r = rand_fq()
+    last_callee_id = 2
+    assert data_offset + size <= rd_len  # in-bound rows only
+
+    bytecode = (
+        Bytecode()
+        .push(size, n_bytes=32).push(data_offset, n_bytes=32)
+        .push(dest_offset, n_bytes=32).returndatacopy().stop()
+    )
+    h = bytecode.hash()
+
+    rw = (
+        RWDictionary(9)
+        .stack_read(1, 1021, dest_offset)
+        .stack_read(1, 1022, data_offset)
+        .stack_read(1, 1023, size)
+        .call_context_read(1, CallContextFieldTag.LastCalleeId, last_callee_id)
+        .call_context_read(1, CallContextFieldTag.LastCalleeReturnDataLength, rd_len)
+        .call_context_read(1, CallContextFieldTag.LastCalleeReturnDataOffset, rd_offset)
+    )
+    # parity quirk: the gadget (like reference returndatacopy.py:36-42)
+    # sources the copy at return_data_offset, NOT + data_offset; the range
+    # check still bounds data_offset + size <= rd_len
+    src_start = rd_offset
+    copy_circuit = CopyCircuit().copy(
+        r, rw, last_callee_id, CopyDataTypeTag.Memory, 1,
+        CopyDataTypeTag.Memory, src_start, src_start + size, dest_offset,
+        size, {src_start + i: (10 + i) % 256 for i in range(size)},
+    )
+    n_rw = rw.rw_counter - 9
+
+    next_mem, mem_gas = memory_expansion(0, dest_offset + size)
+    gas = (constant_gas_cost(Opcode.RETURNDATACOPY) + mem_gas
+           + GAS_COST_COPY * ((size + 31) // 32))
+    tables = Tables(
+        block_table=Block().table_assignments(),
+        bytecode_table=bytecode.table_assignments(),
+        rw_table=rw.rws,
+        copy_table=copy_circuit_to_table(copy_circuit),
+    )
+    steps = [
+        StepState(
+            execution_state=ExecutionState.RETURNDATACOPY, rw_counter=9,
+            call_id=1, is_root=True, code_hash=h, program_counter=99,
+            stack_pointer=1021, gas_left=gas,
+        ),
+        StepState(
+            execution_state=ExecutionState.STOP, rw_counter=9 + n_rw,
+            call_id=1, is_root=True, code_hash=h, program_counter=100,
+            stack_pointer=1024, gas_left=0, memory_word_size=next_mem,
+        ),
+    ]
+    verify_steps(tables=tables, steps=steps)

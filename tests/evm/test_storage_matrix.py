@@ -125,15 +125,32 @@ def test_sstore_matrix_persistent(value, value_prev, original, warm):
     run_sstore(value, value_prev, original, warm, persistent=True)
 
 
-@pytest.mark.parametrize("value,value_prev,original", [
-    (60, 0, 0),       # fresh set, reverted
-    (0, 200, 200),    # clear (refund), reverted
-    (60, 200, 0),     # dirty overwrite, reverted
-    (200, 200, 200),  # idempotent, reverted
-])
+@pytest.mark.parametrize("value,value_prev,original", LATTICE)
 @pytest.mark.parametrize("warm", [True, False])
 def test_sstore_matrix_reverted(value, value_prev, original, warm):
+    # full lattice under reversion (reference test_sstore.py runs every
+    # value case x warm x persist; the reverted half exercises the
+    # mirrored reversion writes' rw counters)
     run_sstore(value, value_prev, original, warm, persistent=False)
+
+
+# word-width operands: the reference's TESTING_DATA uses 32-byte keys and
+# values (test_sstore.py:26-51 bytes([...])); small ints leave the hi limbs
+# of the Word columns untested
+WIDE_A = int.from_bytes(bytes(range(0, 32)), "big")
+WIDE_B = int.from_bytes(bytes(range(32, 0, -1)), "big")
+
+
+@pytest.mark.parametrize("value,value_prev,original", [
+    (WIDE_A, WIDE_A, WIDE_A),   # idempotent at full width
+    (WIDE_A, 0, 0),             # fresh set of a wide word
+    (WIDE_B, WIDE_A, WIDE_A),   # reset wide -> wide
+    (0, WIDE_A, WIDE_A),        # clear a wide word (refund path)
+    (WIDE_A, WIDE_B, WIDE_A),   # restore-to-original at full width
+])
+@pytest.mark.parametrize("warm,persistent", [(True, True), (False, False)])
+def test_sstore_wide_words(value, value_prev, original, warm, persistent):
+    run_sstore(value, value_prev, original, warm, persistent=persistent)
 
 
 def test_sstore_wrong_gas_rejected():
@@ -186,8 +203,8 @@ def test_sstore_wrong_refund_rejected():
 @pytest.mark.parametrize("warm,persistent", [
     (True, True), (False, True), (True, False), (False, False),
 ])
-def test_sload_matrix(warm, persistent):
-    value = 0xDEAD_BEEF
+@pytest.mark.parametrize("value", [0xDEAD_BEEF, WIDE_A, 0])
+def test_sload_matrix(warm, persistent, value):
     bytecode = Bytecode().push(KEY, n_bytes=32).sload().stop()
     h = bytecode.hash()
     rev = None if persistent else REV_END

@@ -9,6 +9,9 @@ from zkevm_specs_tpu.witness.tracer import trace_block
 from zkevm_specs_tpu.witness.typing import Block, Bytecode, Transaction
 
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `make test-fast`
+
+
 def _block(n_txs=2, n_ops=6):
     block = Block(base_fee=int(1e9))
     txs = []

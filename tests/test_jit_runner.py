@@ -20,6 +20,9 @@ from zkevm_specs_tpu.runtime.jit import CompiledGroupVerifier
 from common import rand_word
 
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `make test-fast`
+
+
 def build_add_batch(n_steps, corrupt_lane=None):
     bytecode = Bytecode().add(1, 2).stop()
     h = bytecode.hash()

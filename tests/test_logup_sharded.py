@@ -18,6 +18,9 @@ from zkevm_specs_tpu.witness.tracer import trace_block
 from zkevm_specs_tpu.witness.typing import Block, Bytecode, Transaction
 
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `make test-fast`
+
+
 def _witness():
     bc = (Bytecode()
           .push1(3).push1(5).add().pop()

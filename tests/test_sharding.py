@@ -23,9 +23,11 @@ from zkevm_specs_tpu.parallel.shard import (
 from zkevm_specs_tpu.runtime.jit import CompiledGroupVerifier
 from test_jit_runner import build_add_batch, build_binop_batch
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
-)
+pytestmark = [
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs the 8-device virtual CPU mesh"),
+    pytest.mark.slow,  # compile-heavy: excluded from `make test-fast`
+]
 
 
 def test_sharded_evm_group_ok():
