@@ -195,3 +195,134 @@ def test_signextend(index, value):
     else:
         r = value
     run_opcode(ExecutionState.SIGNEXTEND, Opcode.SIGNEXTEND, [index, value], [r])
+
+
+# -- reference-density sweeps: the full NASTY operand lattice on every
+#    two-operand family (reference common.generate_nasty_tests) and the
+#    EIP-145 / boundary vectors of test_shl_shr.py, test_sar.py,
+#    test_slt_sgt.py, test_signextend.py -----------------------------------
+
+MAX_NEG = 1 << 255                 # TESTING_MAX_NEGATIVE (sign bit set, rest 0)
+MAX_POS = (1 << 255) - 1           # TESTING_MAX_POSITIVE
+NEG_SIGN = 1 << 255                # TESTING_NEGATIVE_SIGN
+
+
+@pytest.mark.parametrize("op,fn", [
+    (Opcode.AND, lambda a, b: a & b),
+    (Opcode.OR, lambda a, b: a | b),
+    (Opcode.XOR, lambda a, b: a ^ b),
+])
+@pytest.mark.parametrize("a,b", AB)
+def test_bitwise_nasty(op, fn, a, b):
+    run_opcode(ExecutionState.BITWISE, op, [a, b], [fn(a, b)])
+
+
+@pytest.mark.parametrize("op,fn", [
+    (Opcode.LT, lambda a, b: int(a < b)),
+    (Opcode.GT, lambda a, b: int(a > b)),
+    (Opcode.EQ, lambda a, b: int(a == b)),
+])
+@pytest.mark.parametrize("a,b", AB)
+def test_cmp_nasty(op, fn, a, b):
+    run_opcode(ExecutionState.CMP, op, [a, b], [fn(a, b)])
+
+
+@pytest.mark.parametrize("a,b", AB + [
+    (MAX_NEG, MAX_NEG), (MAX_NEG, MAX_POS), (MAX_POS, MAX_NEG),
+    (MAX_POS, MAX_POS), (MAX_NEG, 0), (0, MAX_NEG),
+])
+@pytest.mark.parametrize("op,fn", [
+    (Opcode.SLT, lambda a, b: int(to_signed(a) < to_signed(b))),
+    (Opcode.SGT, lambda a, b: int(to_signed(a) > to_signed(b))),
+])
+def test_scmp_nasty(op, fn, a, b):
+    run_opcode(ExecutionState.SCMP, op, [a, b], [fn(a, b)])
+
+
+_SHIFT_VECTORS = [
+    # reference test_shl_shr.py TESTING_DATA
+    (8, 0xABCD << 240), (7, 0x1234 << 240), (17, 0x8765 << 240),
+    (0, 0x4321 << 240), (256, 0xFFFF), (265, 0x12345),
+    (63, U256M), (128, U256M), (129, U256M),
+    (8, 0xABCD), (7, 0x1234), (17, 0x8765), (0, 0x4321),
+] + [(a, b) for a, b in AB]
+
+
+@pytest.mark.parametrize("shift,a", _SHIFT_VECTORS)
+def test_shl_nasty(shift, a):
+    r = (a << shift) & U256M if shift < 256 else 0
+    run_opcode(ExecutionState.SHL_SHR, Opcode.SHL, [shift, a], [r])
+
+
+@pytest.mark.parametrize("shift,a", _SHIFT_VECTORS)
+def test_shr_nasty(shift, a):
+    r = a >> shift if shift < 256 else 0
+    run_opcode(ExecutionState.SHL_SHR, Opcode.SHR, [shift, a], [r])
+
+
+@pytest.mark.parametrize("shift,a", [
+    # reference test_sar.py TESTING_DATA + the EIP-145 SAR vectors
+    (8, 0x1234), (NEG_SIGN + 8, 0x1234), (17, 0x5678), (0, 0xABCD),
+    (256, 0xFFFF), (265, 0x12345),
+    (8, NEG_SIGN + 0x1234), (NEG_SIGN + 8, NEG_SIGN + 0x1234),
+    (17, NEG_SIGN + 0x5678), (0, NEG_SIGN + 0xABCD),
+    (256, NEG_SIGN + 0xFFFF), (265, NEG_SIGN + 0x12345),
+    (8, MAX_NEG), (129, MAX_NEG), (300, MAX_NEG),
+    (8, MAX_POS), (129, MAX_POS), (300, MAX_POS),
+    (MAX_NEG, MAX_NEG), (MAX_NEG, MAX_POS),
+    (MAX_POS, MAX_NEG), (MAX_POS, MAX_POS),
+    # EIP-145
+    (0, 1), (1, 1), (1, 0), (1, NEG_SIGN), (0xFF, NEG_SIGN),
+    (0x100, NEG_SIGN), (0x101, NEG_SIGN),
+    (0, MAX_NEG), (1, MAX_NEG), (0xFF, MAX_NEG), (0x100, MAX_NEG),
+    (0xFE, 2**254), (0xF8, MAX_POS), (0xFE, MAX_POS),
+])
+def test_sar_reference_vectors(shift, a):
+    sa = to_signed(a)
+    r = from_signed(sa >> shift) if shift < 256 else (U256M if sa < 0 else 0)
+    run_opcode(ExecutionState.SAR, Opcode.SAR, [shift, a], [r])
+
+
+@pytest.mark.parametrize("index,value", [
+    # reference test_signextend.py: negative-sign indexes and operands
+    (0, 0x12), (1, 0x1234), (16, 0x12345678 << 100), (31, U256M),
+    (NEG_SIGN, 0x1234), (NEG_SIGN + 5, NEG_SIGN + 0x1234),
+    (0, NEG_SIGN + 0xFF), (15, NEG_SIGN + (0x80 << 120)),
+])
+def test_signextend_reference_vectors(index, value):
+    if index < 31:
+        bit = 8 * index + 7
+        if (value >> bit) & 1:
+            r = value | (U256M ^ ((1 << (bit + 1)) - 1))
+        else:
+            r = value & ((1 << (bit + 1)) - 1)
+    else:
+        r = value
+    run_opcode(ExecutionState.SIGNEXTEND, Opcode.SIGNEXTEND, [index, value], [r])
+
+
+@pytest.mark.parametrize("a,b", AB)
+def test_byte_nasty(a, b):
+    r = (b >> (8 * (31 - a))) & 0xFF if a < 32 else 0
+    run_opcode(ExecutionState.BYTE, Opcode.BYTE, [a, b], [r])
+
+
+@pytest.mark.parametrize("a,b,n", [
+    # divisor/modulus edge lattice for the mod-3 gadgets
+    (U256M, U256M, 1), (U256M, 1, U256M), (1, U256M, U256M),
+    (MAX_NEG, MAX_POS, 2), (MAX_POS, MAX_NEG, 3),
+    (U256M, U256M, U256M - 1), (2, 3, U256M),
+])
+def test_addmod_edge(a, b, n):
+    run_opcode(ExecutionState.ADDMOD, Opcode.ADDMOD, [a, b, n],
+               [(a + b) % n if n else 0])
+
+
+@pytest.mark.parametrize("a,b,n", [
+    (U256M, U256M, 1), (U256M, 1, U256M), (1, U256M, U256M),
+    (MAX_NEG, MAX_POS, 2), (MAX_POS, MAX_NEG, 3),
+    (U256M, U256M, U256M - 1), (2, 3, U256M),
+])
+def test_mulmod_edge(a, b, n):
+    run_opcode(ExecutionState.MULMOD, Opcode.MULMOD, [a, b, n],
+               [(a * b) % n if n else 0])
