@@ -663,3 +663,97 @@ def test_returndatacopy_matrix(dest_offset, data_offset, size, rd_offset,
         ),
     ]
     verify_steps(tables=tables, steps=steps)
+
+
+# -- LOG in a reverted frame (reference test_logs.py is_persistent=False
+#    rows: no tx-log writes materialize and log_id does not advance) --------
+
+@pytest.mark.parametrize("n_topics,msize,mstart", [
+    (0, 2, 10), (1, 3, 20), (2, 20, 100), (3, 50, 180), (4, 15, 421),
+])
+def test_log_reverted(n_topics, msize, mstart):
+    tx_id, callee_addr = 1, rand_address()
+    topics = [rand_word() for _ in range(n_topics)]
+    opcode = Opcode(int(Opcode.LOG0) + n_topics)
+
+    bytecode = Bytecode()
+    for t in reversed(topics):
+        bytecode.push(t, n_bytes=32)
+    bytecode.push(msize, n_bytes=32).push(mstart, n_bytes=32)
+    getattr(bytecode, opcode.name.lower())()
+    bytecode.stop()
+    h = bytecode.hash()
+
+    sp0 = 1024 - 2 - n_topics
+    rw = (
+        RWDictionary(9)
+        .stack_read(1, sp0, mstart)
+        .stack_read(1, sp0 + 1, msize)
+        .call_context_read(1, CallContextFieldTag.TxId, tx_id)
+        .call_context_read(1, CallContextFieldTag.IsStatic, 0)
+        .call_context_read(1, CallContextFieldTag.CalleeAddress, callee_addr)
+        .call_context_read(1, CallContextFieldTag.IsPersistent, 0)
+    )
+    for i, t in enumerate(topics):
+        rw.stack_read(1, sp0 + 2 + i, t)
+    n_rw = rw.rw_counter - 9
+
+    next_mem, mem_gas = memory_expansion(0, mstart + msize if msize else 0)
+    gas = (constant_gas_cost(opcode) + GAS_COST_LOG + GAS_COST_LOG * n_topics
+           + GAS_COST_LOGDATA * msize + mem_gas)
+    tables = Tables(
+        block_table=Block().table_assignments(),
+        bytecode_table=bytecode.table_assignments(),
+        rw_table=rw.rws,
+    )
+    pc0 = 33 * (2 + n_topics)
+    steps = [
+        StepState(
+            execution_state=ExecutionState.LOG, rw_counter=9, call_id=1,
+            is_root=True, code_hash=h, program_counter=pc0,
+            stack_pointer=sp0, gas_left=gas, log_id=0,
+        ),
+        StepState(
+            execution_state=ExecutionState.STOP, rw_counter=9 + n_rw,
+            call_id=1, is_root=True, code_hash=h, program_counter=pc0 + 1,
+            stack_pointer=sp0 + 2 + n_topics, gas_left=0,
+            memory_word_size=next_mem, log_id=0,  # reverted: log_id unchanged
+        ),
+    ]
+    verify_steps(tables=tables, steps=steps)
+
+
+def test_log_static_context_rejected():
+    """LOG under IsStatic=1 must not verify (write-protection invariant
+    inside the gadget; the tracer classifies it ErrorWriteProtection)."""
+    bytecode = (Bytecode().push(4, n_bytes=32).push(0, n_bytes=32)
+                .log0().stop())
+    h = bytecode.hash()
+    rw = (
+        RWDictionary(9)
+        .stack_read(1, 1022, 0)
+        .stack_read(1, 1023, 4)
+        .call_context_read(1, CallContextFieldTag.TxId, 1)
+        .call_context_read(1, CallContextFieldTag.IsStatic, 1)
+        .call_context_read(1, CallContextFieldTag.CalleeAddress, 0xAA)
+        .call_context_read(1, CallContextFieldTag.IsPersistent, 1)
+        .tx_log_write(1, 1, TxLogFieldTag.Address, 0, 0xAA)
+    )
+    tables = Tables(
+        block_table=Block().table_assignments(),
+        bytecode_table=bytecode.table_assignments(),
+        rw_table=rw.rws,
+    )
+    steps = [
+        StepState(
+            execution_state=ExecutionState.LOG, rw_counter=9, call_id=1,
+            is_root=True, code_hash=h, program_counter=66,
+            stack_pointer=1022, gas_left=10000, log_id=0,
+        ),
+        StepState(
+            execution_state=ExecutionState.STOP, rw_counter=16, call_id=1,
+            is_root=True, code_hash=h, program_counter=67,
+            stack_pointer=1024, gas_left=0, log_id=1,
+        ),
+    ]
+    verify_steps(tables=tables, steps=steps, success=False)
