@@ -96,3 +96,27 @@ def test_sharded_state_circuit_halo_catches_boundary_violation():
     mesh = make_mesh(8)
     fail = np.asarray(sharded_state_circuit(rows, mpt, mesh))
     assert fail.any()
+
+
+def test_comm_model_weak_scaling_bound():
+    """The analytic communication-volume model (parallel/comm_model.py)
+    must predict >85% weak-scaling efficiency for the BASELINE target
+    workload (one 1M-gas block per device-group) and show the latency
+    wall for small strong-scaled blocks."""
+    from zkevm_specs_tpu.parallel.comm_model import CommModel
+
+    weak = CommModel(n_devices=8, n_steps=352_000 * 8,
+                     n_rw_rows=1_056_000 * 8, n_constraints_per_step=29,
+                     n_logup_families=10)
+    assert weak.predicted_weak_efficiency() > 0.85
+    # comm volume grows linearly with the mesh, compute per device fixed
+    weak64 = CommModel(n_devices=64, n_steps=352_000 * 64,
+                       n_rw_rows=1_056_000 * 64, n_constraints_per_step=29,
+                       n_logup_families=10)
+    assert abs(weak64.predicted_weak_efficiency()
+               - weak.predicted_weak_efficiency()) < 0.01
+
+    small_strong = CommModel(n_devices=64, n_steps=8_000,
+                             n_rw_rows=12_000, n_constraints_per_step=29,
+                             n_logup_families=10)
+    assert small_strong.predicted_weak_efficiency() < 0.5
