@@ -327,3 +327,57 @@ def test_block_error_oog_create():
     assert ExecutionState.ErrorOutOfGasCREATE in {
         s.execution_state for s in w.steps}
     verify_super_circuit(w)
+
+
+def test_block_create_in_reverting_caller():
+    """CREATE inside a callee frame that later REVERTs: the deployment's
+    reversible writes (nonce bump, code-hash write) carry reversion slots
+    and the deployed account is rolled back (reference test_create.py
+    create_contexts[1], is_persistent=False)."""
+    factory = Bytecode()
+    n = _store_initcode(factory, self_replicating_initcode())
+    factory.push1(n).push1(0).push1(0).create().pop()
+    factory.push1(0).push1(0).revert()
+    caller = Bytecode()
+    caller.push1(0).push1(0).push1(0).push1(0).push1(0).push2(0x7000) \
+          .push3(0xFFFFF).call().pop().stop()
+    accounts = {0x7000: Account(address=0x7000, code=factory)}
+    w = _trace(caller, accounts)
+    states = {s.execution_state for s in w.steps}
+    assert ExecutionState.CREATE in states
+    # REVERT shares the RETURN state (reference registers one gadget)
+    assert ExecutionState.RETURN in states
+    assert w.tx_success == [True]
+    verify_super_circuit(w)
+
+
+def test_block_create2_in_reverting_caller():
+    factory = Bytecode()
+    n = _store_initcode(factory, self_replicating_initcode())
+    factory.push1(0x5A).push1(n).push1(0).push1(0).create2().pop()
+    factory.push1(0).push1(0).revert()
+    caller = Bytecode()
+    caller.push1(0).push1(0).push1(0).push1(0).push1(0).push2(0x7000) \
+          .push3(0xFFFFF).call().pop().stop()
+    accounts = {0x7000: Account(address=0x7000, code=factory)}
+    w = _trace(caller, accounts)
+    states = {s.execution_state for s in w.steps}
+    assert ExecutionState.CREATE2 in states
+    assert ExecutionState.RETURN in states  # the factory's REVERT
+    verify_super_circuit(w)
+
+
+def test_block_create_then_recreate_same_nonce_path():
+    """Two sequential CREATEs from one frame: the second uses the bumped
+    nonce, so the deployed addresses differ and both accounts verify."""
+    bc = Bytecode()
+    n = _store_initcode(bc, self_replicating_initcode())
+    bc.push1(n).push1(0).push1(0).create()
+    bc.push1(n).push1(0).push1(0).create()
+    # distinct non-zero addresses on the stack
+    bc.eq().iszero()
+    bc.stop()
+    w = _trace(bc)
+    assert [s for s in w.steps
+            if s.execution_state == ExecutionState.CREATE]
+    verify_super_circuit(w)
