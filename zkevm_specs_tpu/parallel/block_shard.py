@@ -140,12 +140,18 @@ class ShardedBlockVerifier:
         row_sh = NamedSharding(self.mesh, P(axis))
         repl = NamedSharding(self.mesh, P())
         out: Dict[str, np.ndarray] = {}
+        # which circuits actually ran row-sharded vs fully replicated this
+        # pass (small/indivisible row counts replicate; round-4 weak #4
+        # asked for this to be observable)
+        self.producer_placement: Dict[str, str] = {}
         for name, kernel in self.inner.circuit_kernels:
             n = kernel.n
+            sharded = []
 
-            def place(a, n=n):
+            def place(a, n=n, sharded=sharded):
                 a = np.asarray(a)
                 if a.ndim >= 1 and a.shape[0] == n and n % self.n_dev == 0:
+                    sharded.append(True)
                     return jax.device_put(a, row_sh)
                 return jax.device_put(a, repl)
 
@@ -155,6 +161,8 @@ class ShardedBlockVerifier:
                 lambda a: jax.device_put(np.asarray(a), repl), tbl_tree)
             extra_tree = jax.tree.map(place, extra_tree)
             out[name] = np.asarray(kernel((cols_tree, tbl_tree, extra_tree)))
+            self.producer_placement[name] = ("sharded" if sharded
+                                             else "replicated")
         return out
 
     def verify(self) -> None:

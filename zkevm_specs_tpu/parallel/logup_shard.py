@@ -177,6 +177,15 @@ def block_lookup_log(witness, keccak_randomness: int = 0x64):
         from ..witness.typing import exp_circuit_to_table
 
         kwargs["exp_table"] = exp_circuit_to_table(witness.exp_circuit)
+    if witness.ecc_circuit is not None:
+        from ..circuits.ecc import ecc_table_rows
+
+        kwargs["ecc_table"] = ecc_table_rows(witness.ecc_circuit,
+                                             keccak_randomness)
+    if getattr(witness, "sig_rows", None):
+        # traced ecRecover calls consume the sig table (runtime/block.py
+        # builds the same; a witness with precompile 0x01 steps needs it)
+        kwargs["sig_table"] = [r.table_row() for r in witness.sig_rows]
     tables = Tables(**kwargs)
 
     log: List[tuple] = []
