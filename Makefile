@@ -17,8 +17,10 @@ mypy:
 
 # -n 2 --dist loadscope: two xdist workers (the suite is dominated by
 # single-threaded host passes and XLA compiles), modules kept together so
-# workers reuse each other's in-process kernel caches
-PYTEST_PAR ?= -n 2 --dist loadscope
+# workers reuse each other's in-process kernel caches; falls back to a
+# serial run when pytest-xdist is absent
+PYTEST_PAR ?= $(shell $(PYTHON) -c "import xdist" 2>/dev/null \
+  && echo "-n 2 --dist loadscope")
 
 test:
 	$(PYTHON) -m pytest tests/ -q $(PYTEST_PAR)
