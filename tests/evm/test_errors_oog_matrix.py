@@ -487,3 +487,63 @@ def test_gas_uint_overflow_in_range_rejected():
     rw.call_context_read(1, CallContextFieldTag.IsSuccess, 0)
     run_error(ExecutionState.ErrorGasUintOverflow, bytecode, rw,
               33, 1023, 100, 5, success=False)
+
+
+# --------------------------------------------------------------------------
+# ErrorGasUintOverflow — the reference's full opcode matrix
+# (test_error_gas_uint_overflow.py: every memory-sizing opcode x an
+# overflowing offset and/or length operand)
+# --------------------------------------------------------------------------
+
+# stack values in POP order; OV in the slot the memory-size calc consumes
+_UINT_OVERFLOW_CASES = [
+    (Opcode.SHA3, [U64_OVER, 1]), (Opcode.SHA3, [0, U64_OVER]),
+    (Opcode.RETURN, [U64_OVER, 1]), (Opcode.RETURN, [0, U64_OVER]),
+    (Opcode.REVERT, [U64_OVER, 1]), (Opcode.REVERT, [0, U64_OVER]),
+    (Opcode.LOG0, [U64_OVER, 1]), (Opcode.LOG0, [0, U64_OVER]),
+    (Opcode.LOG1, [U64_OVER, 1]),
+    (Opcode.LOG2, [0, U64_OVER]),
+    (Opcode.LOG3, [U64_OVER, 1]),
+    (Opcode.LOG4, [0, U64_OVER]),
+    (Opcode.CALLDATACOPY, [0, U64_OVER, 1]),
+    (Opcode.CALLDATACOPY, [0, 0, U64_OVER]),
+    (Opcode.RETURNDATACOPY, [0, U64_OVER, 1]),
+    (Opcode.RETURNDATACOPY, [0, 0, U64_OVER]),
+    (Opcode.CODECOPY, [0, U64_OVER, 1]),
+    (Opcode.CODECOPY, [0, 0, U64_OVER]),
+    (Opcode.EXTCODECOPY, [0xAA, 0, U64_OVER, 1]),
+    (Opcode.EXTCODECOPY, [0xAA, 0, 0, U64_OVER]),
+    (Opcode.MLOAD, [U64_OVER]),
+    (Opcode.MSTORE, [U64_OVER, 1]),
+    (Opcode.MSTORE8, [U64_OVER, 1]),
+    (Opcode.CREATE, [0, U64_OVER, 1]),
+    (Opcode.CREATE, [0, 0, U64_OVER]),
+    (Opcode.CREATE2, [0, U64_OVER, 1, 0x5A]),
+    (Opcode.CALL, [100, 0xAA, 0, U64_OVER, 1, 0, 32]),
+    (Opcode.CALL, [100, 0xAA, 0, 0, 32, U64_OVER, 1]),
+    (Opcode.CALLCODE, [100, 0xAA, 0, U64_OVER, 1, 0, 32]),
+    (Opcode.DELEGATECALL, [100, 0xAA, U64_OVER, 1, 0, 32]),
+    (Opcode.DELEGATECALL, [100, 0xAA, 0, 32, U64_OVER, 1]),
+    (Opcode.STATICCALL, [100, 0xAA, U64_OVER, 1, 0, 32]),
+    (Opcode.STATICCALL, [100, 0xAA, 0, 32, U64_OVER, 1]),
+]
+
+
+@pytest.mark.parametrize(
+    "opcode,stack_vals", _UINT_OVERFLOW_CASES,
+    ids=[f"{op.name}-{i}" for i, (op, _) in enumerate(_UINT_OVERFLOW_CASES)])
+def test_gas_uint_overflow_full_matrix(opcode, stack_vals):
+    n = len(stack_vals)
+    bytecode = Bytecode()
+    for v in reversed(stack_vals):
+        bytecode.push(v, n_bytes=32)
+    getattr(bytecode, opcode.name.lower().rstrip("_")
+            + ("_" if opcode in (Opcode.RETURN, Opcode.REVERT) else ""))()
+    bytecode.stop()
+    sp = 1024 - n
+    rw = _overflow_ctx(RWDictionary(24))
+    for i, v in enumerate(stack_vals):
+        rw.stack_read(1, sp + i, v)
+    rw.call_context_read(1, CallContextFieldTag.IsSuccess, 0)
+    run_error(ExecutionState.ErrorGasUintOverflow, bytecode, rw,
+              33 * n, sp, 100, n + 4)
