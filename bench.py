@@ -583,14 +583,16 @@ def _bench_block_mix(make_txs, n_iters, measure_fresh=True):
 
 def _alu_ops_for_budget(remaining_s):
     """Pick the ALU-mix size the remaining budget can afford.  Cost model
-    (v5e behind the tunnel, warm kernel caches, docs/serving.md): trace
-    ~30k steps/s + build ~eager-pass bound; a (txs=8, ops) mix has
-    8*(4*ops+3) steps and costs roughly steps/9000 seconds end to end
-    including the timed device iterations."""
+    calibrated on the round-5 sandbox measurements (docs/serving.md: a
+    64k-step block costs ~2 s trace + ~17 s build + upload on a 2-core
+    host; the TPU host is comparable once timed device iterations are
+    added): a (txs=8, ops) mix has 8*(4*ops+3) steps and costs roughly
+    steps/3000 seconds end to end with warm compile caches, plus ~30 s
+    of fixed overhead."""
     full = int(os.environ.get("BENCH_ALU_OPS", "11000"))
     for ops in (full, 4000, 1500, 500):
         steps = 8 * (4 * ops + 3)
-        if steps / 9000.0 + 20.0 < remaining_s:
+        if steps / 3000.0 + 30.0 < remaining_s:
             return ops
     return 0
 
@@ -623,7 +625,8 @@ def bench_super_jit_1m(deadline=None):
         alu = _bench_block_mix(
             lambda: _alu_heavy_txs(8, alu_ops), n_iters,
             measure_fresh=(deadline is None
-                           or deadline - time.time() > 2 * (8 * 4 * alu_ops) / 9000.0))
+                           or deadline - time.time()
+                           > 2 * (8 * 4 * alu_ops) / 3000.0 + 60))
         alu["alu_ops_per_tx"] = alu_ops
         alu["alu_scaled_down"] = alu_ops < full_alu
         detail["alu_heavy"] = alu
@@ -929,7 +932,7 @@ def bench_default():
             alu = _bench_block_mix(
                 lambda: _alu_heavy_txs(8, alu_ops), n_iters,
                 measure_fresh=(deadline - time.time()
-                               > 2 * (8 * 4 * alu_ops) / 9000.0))
+                               > 2 * (8 * 4 * alu_ops) / 3000.0 + 60))
             alu["alu_ops_per_tx"] = alu_ops
             alu["alu_scaled_down"] = alu_ops < full_alu
             sc["alu_heavy"] = alu
