@@ -547,3 +547,59 @@ def test_gas_uint_overflow_full_matrix(opcode, stack_vals):
     rw.call_context_read(1, CallContextFieldTag.IsSuccess, 0)
     run_error(ExecutionState.ErrorGasUintOverflow, bytecode, rw,
               33 * n, sp, 100, n + 4)
+
+
+# --------------------------------------------------------------------------
+# ErrorOutOfGasCall with memory-expansion regions (reference
+# test_error_oog_call.py Stack(cd_offset=64, cd_length=320, rd_length=32))
+# --------------------------------------------------------------------------
+
+def _callop_vector_regions(opcode, has_value, is_warm, cd, rd):
+    addr = rand_address()
+    value = 3 if has_value else 0
+    takes_value = opcode in (Opcode.CALL, Opcode.CALLCODE)
+    cd_off, cd_len = cd
+    rd_off, rd_len = rd
+    args = ([0, addr, value, cd_off, cd_len, rd_off, rd_len] if takes_value
+            else [0, addr, cd_off, cd_len, rd_off, rd_len])
+    n = len(args)
+    bytecode = getattr(Bytecode(), opcode.name.lower())(*args).stop()
+    sp = 1024 - n
+    rw = RWDictionary(24).call_context_read(1, CallContextFieldTag.TxId, 1)
+    for i, v in enumerate(args):
+        rw.stack_read(1, sp + i, v)
+    rw.stack_write(1, 1023, 0)
+    rw.account_read(addr, AccountFieldTag.CodeHash, 0)
+    rw.tx_access_list_account_read(1, addr, is_warm)
+    rw.call_context_read(1, CallContextFieldTag.IsSuccess, 0)
+    nm = max((cd_off + cd_len + 31) // 32 if cd_len else 0,
+             (rd_off + rd_len + 31) // 32 if rd_len else 0)
+    mem = 3 * nm + nm * nm // 512
+    cost = (GAS_COST_WARM_ACCESS if is_warm else GAS_COST_ACCOUNT_COLD_ACCESS)
+    if has_value:
+        cost += GAS_COST_CALL_WITH_VALUE
+    cost += mem
+    return bytecode, rw, 33 * n, sp, cost, n + 5
+
+
+@pytest.mark.parametrize("opcode,has_value", CALL_OPS)
+@pytest.mark.parametrize("is_warm", [True, False])
+@pytest.mark.parametrize("cd,rd", [
+    ((64, 320), (0, 32)),      # the reference's region shape
+    ((0, 32), (64, 320)),      # rd-dominated expansion
+    ((0xFF00, 64), (0, 0)),    # deep quadratic expansion, no rd region
+])
+def test_oog_call_with_expansion(opcode, has_value, is_warm, cd, rd):
+    bytecode, rw, pc, sp, cost, delta = _callop_vector_regions(
+        opcode, has_value, is_warm, cd, rd)
+    run_error(ExecutionState.ErrorOutOfGasCall, bytecode, rw, pc, sp,
+              cost - 1, delta)
+
+
+@pytest.mark.parametrize("opcode,has_value", [(Opcode.CALL, True),
+                                              (Opcode.DELEGATECALL, False)])
+def test_oog_call_with_expansion_enough_gas_rejected(opcode, has_value):
+    bytecode, rw, pc, sp, cost, delta = _callop_vector_regions(
+        opcode, has_value, True, (64, 320), (0, 32))
+    run_error(ExecutionState.ErrorOutOfGasCall, bytecode, rw, pc, sp,
+              cost, delta, success=False)
