@@ -168,3 +168,93 @@ def test_return_revert_root(is_return):
             ),
         ],
     )
+
+
+@pytest.mark.parametrize("is_return", [True, False])
+@pytest.mark.parametrize("offset,length,mws0", [
+    (4, 100, 2),     # expansion 64B -> 128B (reference TESTING_DATA row 3/4)
+    (0, 0, 0),       # empty return data, no region
+    (0x20, 0x40, 1), # expansion from one word
+    (31, 1, 0),      # unaligned single byte
+    (0, 0x2000, 0),  # deep expansion, quadratic term non-zero
+])
+def test_return_revert_root_expansion(is_return, offset, length, mws0):
+    """Root-frame RETURN/REVERT across memory-expansion shapes (reference
+    test_return_revert.py TESTING_DATA_IS_ROOT_NOT_CREATE extended)."""
+    op = Opcode.RETURN if is_return else Opcode.REVERT
+    bytecode = Bytecode()
+    getattr(bytecode, op.name.lower())(offset, length)
+    h = bytecode.hash()
+
+    nm = max(mws0, (offset + length + 31) // 32 if length else 0)
+    exp_gas = 3 * (nm - mws0) + nm * nm // 512 - mws0 * mws0 // 512
+
+    rw = (
+        RWDictionary(24)
+        .call_context_read(1, CallContextFieldTag.IsSuccess, int(is_return))
+        .stack_read(1, 1022, offset)
+        .stack_read(1, 1023, length)
+        .call_context_read(1, CallContextFieldTag.IsPersistent, int(is_return))
+    )
+    tables = Tables(
+        block_table=Block().table_assignments(),
+        tx_table=Transaction().table_assignments(),
+        bytecode_table=bytecode.table_assignments(),
+        rw_table=rw.rws,
+    )
+    verify_steps(
+        tables=tables,
+        steps=[
+            StepState(
+                execution_state=ExecutionState.RETURN, rw_counter=24,
+                call_id=1, is_root=True, is_create=False, code_hash=h,
+                program_counter=66, stack_pointer=1022, gas_left=exp_gas,
+                reversible_write_counter=2, memory_word_size=mws0,
+            ),
+            StepState(
+                # root halts settle gas in EndTx: gas_left flows through
+                # (reference return_revert.py:123 Transition.to)
+                execution_state=ExecutionState.EndTx, gas_left=exp_gas,
+                rw_counter=28 if is_return else 30, call_id=1,
+            ),
+        ],
+    )
+
+
+@pytest.mark.parametrize("is_return", [True, False])
+def test_return_revert_root_wrong_rw_delta_rejected(is_return):
+    op = Opcode.RETURN if is_return else Opcode.REVERT
+    bytecode = Bytecode()
+    getattr(bytecode, op.name.lower())(4, 100)
+    h = bytecode.hash()
+    rw = (
+        RWDictionary(24)
+        .call_context_read(1, CallContextFieldTag.IsSuccess, int(is_return))
+        .stack_read(1, 1022, 4)
+        .stack_read(1, 1023, 100)
+        .call_context_read(1, CallContextFieldTag.IsPersistent, int(is_return))
+    )
+    tables = Tables(
+        block_table=Block().table_assignments(),
+        tx_table=Transaction().table_assignments(),
+        bytecode_table=bytecode.table_assignments(),
+        rw_table=rw.rws,
+    )
+    verify_steps(
+        tables=tables,
+        steps=[
+            StepState(
+                execution_state=ExecutionState.RETURN, rw_counter=24,
+                call_id=1, is_root=True, is_create=False, code_hash=h,
+                program_counter=66, stack_pointer=1022, gas_left=6,
+                reversible_write_counter=2, memory_word_size=2,
+            ),
+            StepState(
+                # wrong: REVERT must skip the reversion-mirror section
+                # (delta 4 + reversible_write_counter), RETURN must not
+                execution_state=ExecutionState.EndTx, gas_left=6,
+                rw_counter=30 if is_return else 28, call_id=1,
+            ),
+        ],
+        success=False,
+    )
