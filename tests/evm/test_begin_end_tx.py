@@ -180,6 +180,13 @@ def test_begin_tx(tx: Transaction, callee_code, is_success: bool):
     (True, True, 0, 0),
     (False, True, 100, 10),
     (True, False, 0, 0),
+    # capped refund: claimed 38400 > gas_used/5 (reference test_end_tx.py
+    # 'Tx with capped refund')
+    (False, True, 38400, 3952),
+    # non-capped nonzero refund ('Tx with non-capped refund')
+    (True, True, 1000, 994),
+    # capped refund inside a reverted frame
+    (False, False, 38400, 0),
 ])
 def test_end_tx(is_first_tx, is_persistent, refund, gas_left):
     from zkevm_specs_tpu.utils.param import MAX_REFUND_QUOTIENT_OF_GAS_USED
