@@ -1,0 +1,229 @@
+"""Block-level invalid-tx (skipped), empty-callee-code, and access-list
+transaction conformance.
+
+The reference's begin_tx gadget (begin_tx.py:23-267) supports invalid
+transactions — derived from insufficient balance, insufficient intrinsic
+gas, or a nonce mismatch — and empty-code callees, both taking a direct
+BeginTx -> EndTx branch with no execution steps; and it charges the
+EIP-2930 access-list intrinsic gas from the tx table (with the reference's
+own TODO: entries are charged but NOT warmed).  These paths previously had
+only hand-built gadget vectors (tests/evm/test_begin_end_tx.py); here the
+tracer produces full-block witnesses for each and every sub-circuit checks
+them, including mixed valid/invalid blocks and corrupt-witness negatives."""
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from zkevm_specs_tpu.circuits.super_circuit import verify_super_circuit
+from zkevm_specs_tpu.evm.execution_state import ExecutionState
+from zkevm_specs_tpu.tables.schemas import Target, TxReceiptFieldTag
+from zkevm_specs_tpu.witness.tracer import trace_block
+from zkevm_specs_tpu.witness.typing import (
+    AccessTuple,
+    Account,
+    Block,
+    Bytecode,
+    Transaction,
+)
+
+BASE_FEE = int(1e9)
+
+
+def _statuses(w):
+    return [r["value"] for r in w.rw.rws
+            if r["key0"] == int(Target.TxReceipt)
+            and r["field_tag"] == int(TxReceiptFieldTag.PostStateOrStatus)]
+
+
+def _states(w):
+    return [s.execution_state for s in w.steps]
+
+
+# -- invalid (skipped) transactions ------------------------------------------
+
+def test_invalid_tx_gas_not_enough():
+    """gas < intrinsic 21000: the tx is skipped — BeginTx -> EndTx with no
+    execution steps, receipt status 0, nonce NOT incremented, balances
+    unchanged (masked transfer)."""
+    tx = Transaction(id=1, gas=20000, gas_price=BASE_FEE,
+                     caller_address=0xFE, callee_address=0xFF, invalid_tx=1)
+    w = trace_block(Block(base_fee=BASE_FEE), [(tx, Bytecode().stop())])
+    assert _states(w) == [ExecutionState.BeginTx, ExecutionState.EndTx,
+                          ExecutionState.EndBlock]
+    assert _statuses(w) == [0]
+    # the caller's balance rows are unchanged (transfer masked to zero)
+    bal = [r for r in w.rw.rws if r["key0"] == int(Target.Account)
+           and r["rw"] == 1 and r["value"] != r["value_prev"]]
+    assert not bal, "invalid tx must not move any balance"
+    verify_super_circuit(w)
+
+
+def test_invalid_tx_nonce_mismatch():
+    """Declared nonce 5 vs account nonce 0: skipped; the nonce write leaves
+    the account nonce unchanged (nonce == nonce_prev + 1 - is_invalid)."""
+    tx = Transaction(id=1, gas=30000, gas_price=BASE_FEE, nonce=5,
+                     caller_address=0xFE, callee_address=0xFF, invalid_tx=1)
+    accounts = {0xFE: Account(address=0xFE, nonce=0, balance=10**21)}
+    w = trace_block(Block(base_fee=BASE_FEE), [(tx, Bytecode().stop())],
+                    accounts=accounts)
+    assert _statuses(w) == [0]
+    nonce_rows = [r for r in w.rw.rws if r["key0"] == int(Target.Account)
+                  and r["rw"] == 1 and r["value_prev"] == 0 and r["value"] == 0]
+    assert nonce_rows, "nonce write must keep prev value for invalid tx"
+    verify_super_circuit(w)
+
+
+def test_invalid_tx_insufficient_balance():
+    """value + gas fee exceeds the caller balance: skipped."""
+    tx = Transaction(id=1, gas=21001, gas_price=BASE_FEE, value=10**20,
+                     caller_address=0xFE, callee_address=0xFF, invalid_tx=1)
+    w = trace_block(Block(base_fee=BASE_FEE), [(tx, Bytecode().stop())],
+                    caller_balance=1000)
+    assert _statuses(w) == [0]
+    verify_super_circuit(w)
+
+
+def test_invalid_then_valid_tx():
+    """A skipped tx followed by a normal one: statuses [0, 1], the valid tx
+    executes normally and pays its fee."""
+    tx1 = Transaction(id=1, gas=20000, gas_price=BASE_FEE,
+                      caller_address=0xFE, callee_address=0xFF, invalid_tx=1)
+    tx2 = Transaction(id=2, gas=100000, gas_price=int(2e9),
+                      caller_address=0xFD, callee_address=0xFE)
+    w = trace_block(Block(base_fee=BASE_FEE),
+                    [(tx1, Bytecode().stop()),
+                     (tx2, Bytecode().push1(3).push1(4).add().pop().stop())])
+    assert _statuses(w) == [0, 1]
+    assert ExecutionState.ADD in _states(w)
+    verify_super_circuit(w)
+
+
+def test_valid_tx_declared_invalid_rejected():
+    """A genuinely valid tx declared invalid violates the gadget's derived
+    validity (is_tx_invalid == invalid_tx constraint)."""
+    tx = Transaction(id=1, gas=30000, gas_price=BASE_FEE,
+                     caller_address=0xFE, callee_address=0xFF, invalid_tx=1)
+    w = trace_block(Block(base_fee=BASE_FEE), [(tx, Bytecode().stop())])
+    with pytest.raises(AssertionError):
+        verify_super_circuit(w)
+
+
+def test_invalid_tx_corrupt_status_rejected():
+    """Flipping the skipped tx's receipt status to 1 breaks the end_tx
+    status constraint ((1 - is_invalid) * is_persistent)."""
+    tx = Transaction(id=1, gas=20000, gas_price=BASE_FEE,
+                     caller_address=0xFE, callee_address=0xFF, invalid_tx=1)
+    w = trace_block(Block(base_fee=BASE_FEE), [(tx, Bytecode().stop())])
+    for r in w.rw.rws:
+        if (r["key0"] == int(Target.TxReceipt)
+                and r["field_tag"] == int(TxReceiptFieldTag.PostStateOrStatus)):
+            r["value"] = 1
+    with pytest.raises(AssertionError):
+        verify_super_circuit(w)
+
+
+def test_invalid_tx_corrupt_nonce_increment_rejected():
+    """Incrementing the nonce of a skipped tx violates
+    nonce == nonce_prev + 1 - is_invalid."""
+    tx = Transaction(id=1, gas=20000, gas_price=BASE_FEE,
+                     caller_address=0xFE, callee_address=0xFF, invalid_tx=1)
+    w = trace_block(Block(base_fee=BASE_FEE), [(tx, Bytecode().stop())])
+    for r in w.rw.rws:
+        if (r["key0"] == int(Target.Account) and r["rw"] == 1
+                and r["value"] == r["value_prev"] and r["value"] == 0):
+            r["value"] = 1  # pretend the nonce advanced
+            break
+    with pytest.raises(AssertionError):
+        verify_super_circuit(w)
+
+
+# -- empty-code callee --------------------------------------------------------
+
+def test_empty_code_callee():
+    """A tx to an account with no code: BeginTx -> EndTx, status 1, the
+    value transfer and fee happen, the unused gas is refunded."""
+    tx = Transaction(id=1, gas=30000, gas_price=int(2e9), value=12345,
+                     caller_address=0xFE, callee_address=0xFF)
+    w = trace_block(Block(base_fee=BASE_FEE), [(tx, Bytecode())])
+    assert _states(w) == [ExecutionState.BeginTx, ExecutionState.EndTx,
+                          ExecutionState.EndBlock]
+    assert _statuses(w) == [1]
+    assert w.steps[0].gas_left == 30000 - 21000  # intrinsic charged
+    verify_super_circuit(w)
+
+
+def test_empty_code_callee_with_calldata():
+    """Calldata gas is part of the intrinsic charge even when the callee is
+    empty (reference begin_tx.py intrinsic-gas formula)."""
+    cd = bytes([0, 1, 0, 2])  # 2 zero (4 gas) + 2 nonzero (16 gas)
+    tx = Transaction(id=1, gas=30000, gas_price=int(2e9),
+                     caller_address=0xFE, callee_address=0xFF, call_data=cd)
+    w = trace_block(Block(base_fee=BASE_FEE), [(tx, Bytecode())])
+    assert w.steps[0].gas_left == 30000 - 21000 - (2 * 4 + 2 * 16)
+    verify_super_circuit(w)
+
+
+def test_empty_code_then_normal_tx():
+    tx1 = Transaction(id=1, gas=30000, gas_price=int(2e9), value=7,
+                      caller_address=0xFE, callee_address=0xFF)
+    tx2 = Transaction(id=2, gas=100000, gas_price=int(2e9),
+                      caller_address=0xFD, callee_address=0xFE)
+    w = trace_block(Block(base_fee=BASE_FEE),
+                    [(tx1, Bytecode()),
+                     (tx2, Bytecode().push1(1).push1(2).add().pop().stop())])
+    assert _statuses(w) == [1, 1]
+    verify_super_circuit(w)
+
+
+# -- EIP-2930 access lists ----------------------------------------------------
+
+def test_access_list_intrinsic_gas():
+    """The access-list charge (2400/address + 1900/key) is deducted from
+    gas_left; per the reference's TODO the entries are NOT warmed, so a
+    later touch of a listed address is still a cold access."""
+    al = [AccessTuple(address=0xAB, storage_keys=[1, 2]),
+          AccessTuple(address=0xCD, storage_keys=[])]
+    tx = Transaction(id=1, gas=100000, gas_price=int(2e9),
+                     caller_address=0xFE, callee_address=0xFF, access_list=al)
+    bc = Bytecode().push1(1).pop().stop()
+    w = trace_block(Block(base_fee=BASE_FEE), [(tx, bc)])
+    expected_al_gas = 2 * 2400 + 2 * 1900
+    assert tx.access_list_gas_cost() == expected_al_gas
+    # first step after BeginTx starts at tx.gas - 21000 - al_gas
+    first_exec = w.steps[1]
+    assert first_exec.gas_left == 100000 - 21000 - expected_al_gas
+    verify_super_circuit(w)
+
+
+def test_access_list_entries_not_warmed():
+    """BALANCE of a listed address still pays the cold-account cost of
+    2600: reference parity (begin_tx.py access-list warmup TODO)."""
+    al = [AccessTuple(address=0xAB, storage_keys=[])]
+    tx = Transaction(id=1, gas=100000, gas_price=int(2e9),
+                     caller_address=0xFE, callee_address=0xFF, access_list=al)
+    bc = Bytecode().push2(0xAB).balance().pop().stop()
+    w = trace_block(Block(base_fee=BASE_FEE), [(tx, bc)])
+    verify_super_circuit(w)
+    # gas across the BALANCE step dropped by the cold cost (2600), not 100
+    states = _states(w)
+    i = states.index(ExecutionState.BALANCE)
+    spent = w.steps[i].gas_left - w.steps[i + 1].gas_left
+    assert spent == 2600, f"expected cold access cost 2600, got {spent}"
+
+
+def test_access_list_undercharged_rejected():
+    """Understating AccessListGasCost in the tx table breaks the gadget's
+    gas_left binding."""
+    al = [AccessTuple(address=0xAB, storage_keys=[1])]
+    tx = Transaction(id=1, gas=100000, gas_price=int(2e9),
+                     caller_address=0xFE, callee_address=0xFF, access_list=al)
+    bc = Bytecode().push1(1).pop().stop()
+    w = trace_block(Block(base_fee=BASE_FEE), [(tx, bc)])
+    # shrink the declared access list AFTER tracing: the tx table row now
+    # claims a smaller intrinsic charge than the traced gas consumption
+    tx.access_list = [AccessTuple(address=0xAB, storage_keys=[])]
+    with pytest.raises(AssertionError):
+        verify_super_circuit(w)

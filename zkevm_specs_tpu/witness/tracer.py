@@ -434,31 +434,44 @@ class _Tracer:
         self._fix_rwceor(self.anchor)
         rw.call_context_read(call_id, CallContextFieldTag.IsPersistent, int(success))
         rw.call_context_read(call_id, CallContextFieldTag.IsSuccess, int(success))
-        # the gadget constrains the nonce write against the tx table's
-        # declared nonce (begin_tx.py), so the declared value is authoritative
+        # invalid (skipped) txs and empty-code callees take the begin_tx
+        # gadget's direct BeginTx->EndTx branch (reference begin_tx.py's
+        # is_tx_invalid / empty-code-hash paths): no context setup reads,
+        # no execution steps, masked transfer for the invalid case
+        is_invalid = bool(tx.invalid_tx)
+        skip_execution = is_invalid or len(bytecode.code) == 0
+        # the nonce write's prev value is the ACCOUNT nonce (seeded from
+        # `accounts`, defaulting to the declared tx nonce); the gadget
+        # derives is_nonce_valid = (tx_nonce == nonce_prev) and constrains
+        # nonce == nonce_prev + 1 - is_invalid (begin_tx.py)
+        nonce_prev = self.nonces.get(tx.caller_address, tx.nonce)
         rw.account_write(tx.caller_address, AccountFieldTag.Nonce,
-                         tx.nonce + 1, tx.nonce)
-        self.nonces[tx.caller_address] = tx.nonce + 1
+                         nonce_prev + 1 - int(is_invalid), nonce_prev)
+        self.nonces[tx.caller_address] = nonce_prev + 1 - int(is_invalid)
         for addr in (block.coinbase, tx.caller_address, tx.callee_address):
             rw.tx_access_list_account_write(tx_id, addr, True, addr in self.warm_addr)
             self.warm_addr.add(addr)
         # the transfer pair is reversible, bound to the root frame
         # (begin_tx passes reversion_info to transfer_with_gas_fee)
         self.snapshot = self._snapshot()
-        gas_fee = tx.gas * tx.gas_price
+        # begin_tx masks the transfer amounts to zero for invalid txs
+        # (zero_word.select(invalid_mask, ...)); the two write rows still
+        # exist, with unchanged values
+        tx_value = 0 if is_invalid else tx.value
+        gas_fee = 0 if is_invalid else tx.gas * tx.gas_price
         caller_bal_prev = self.balances.get(tx.caller_address, 0)
-        caller_bal = caller_bal_prev - tx.value - gas_fee
+        caller_bal = caller_bal_prev - tx_value - gas_fee
         rw.account_write(tx.caller_address, AccountFieldTag.Balance,
                          caller_bal, caller_bal_prev)
         self._mirror_last()
         self.balances[tx.caller_address] = caller_bal
         callee_bal_prev = self.balances.get(tx.callee_address, 0)
         rw.account_write(tx.callee_address, AccountFieldTag.Balance,
-                         callee_bal_prev + tx.value, callee_bal_prev)
+                         callee_bal_prev + tx_value, callee_bal_prev)
         self._mirror_last()
-        self.balances[tx.callee_address] = callee_bal_prev + tx.value
+        self.balances[tx.callee_address] = callee_bal_prev + tx_value
         rw.account_read(tx.callee_address, AccountFieldTag.CodeHash, code_hash)
-        for tag, value in (
+        for tag, value in () if skip_execution else (
             (CallContextFieldTag.Depth, 1),
             (CallContextFieldTag.CallerAddress, tx.caller_address),
             (CallContextFieldTag.CalleeAddress, tx.callee_address),
@@ -475,12 +488,23 @@ class _Tracer:
         ):
             rw.call_context_read(call_id, tag, value)
 
-        self.w.steps.append(StepState(ExecutionState.BeginTx, begin_rwc))
+        # intrinsic gas includes the EIP-2930 access-list charge, read from
+        # the tx table's AccessListGasCost row (begin_tx.py; the reference
+        # charges it but does NOT warm the entries — mirrored)
+        self.gas_left = (0 if is_invalid else
+                         tx.gas - GAS_COST_TX - tx.call_data_gas_cost()
+                         - tx.access_list_gas_cost())
+        # in the skip branches the gadget leaves gas_left unconstrained
+        # between BeginTx and EndTx; make the witness carry the remaining
+        # gas (empty code: intrinsic charged, rest refunded at EndTx;
+        # invalid: zero, so no refund is paid for a fee never collected)
+        self.w.steps.append(StepState(
+            ExecutionState.BeginTx, begin_rwc,
+            gas_left=self.gas_left if skip_execution else 0))
         self.rev = 2  # the two transfer balance writes are reversible
-        self.gas_left = tx.gas - GAS_COST_TX - tx.call_data_gas_cost()
 
         # --- interpret the bytecode ---
-        while not self.stopped:
+        while not skip_execution and not self.stopped:
             self.step_op()
 
         # --- EndTx (gadget rw order, end_tx.py) ---
@@ -502,7 +526,9 @@ class _Tracer:
         rw.account_write(block.coinbase, AccountFieldTag.Balance,
                          cb_prev + reward, cb_prev)
         self.balances[block.coinbase] = cb_prev + reward
-        rw.tx_receipt_write(tx_id, TxReceiptFieldTag.PostStateOrStatus, int(success))
+        # end_tx.py: status == (1 - is_tx_invalid) * is_persistent
+        rw.tx_receipt_write(tx_id, TxReceiptFieldTag.PostStateOrStatus,
+                            int(success) * (1 - int(is_invalid)))
         rw.tx_receipt_write(tx_id, TxReceiptFieldTag.LogLength, self.log_count)
         if tx_id > 1:
             rw.tx_receipt_read(tx_id - 1, TxReceiptFieldTag.CumulativeGasUsed,
