@@ -227,3 +227,45 @@ def test_access_list_undercharged_rejected():
     tx.access_list = [AccessTuple(address=0xAB, storage_keys=[])]
     with pytest.raises(AssertionError):
         verify_super_circuit(w)
+
+
+# -- production (compiled) path agreement -------------------------------------
+
+@pytest.mark.slow
+def test_compiled_path_invalid_and_empty_and_access_list():
+    """The production CompiledBlockVerifier reproduces the spec verdict on
+    a block mixing all three new tx shapes (skipped invalid tx, empty-code
+    callee, access-list tx)."""
+    from zkevm_specs_tpu.runtime.block import CompiledBlockVerifier
+
+    txs = [
+        (Transaction(id=1, gas=20000, gas_price=BASE_FEE,
+                     caller_address=0xFE, callee_address=0xFF, invalid_tx=1),
+         Bytecode().stop()),
+        (Transaction(id=2, gas=30000, gas_price=int(2e9), value=5,
+                     caller_address=0xFD, callee_address=0xFC), Bytecode()),
+        (Transaction(id=3, gas=100000, gas_price=int(2e9),
+                     caller_address=0xFB, callee_address=0xFA,
+                     access_list=[AccessTuple(address=0xAB, storage_keys=[1])]),
+         Bytecode().push1(1).push1(2).add().pop().stop()),
+    ]
+    w = trace_block(Block(base_fee=BASE_FEE), txs)
+    verify_super_circuit(w)
+    CompiledBlockVerifier(w).verify()
+
+
+@pytest.mark.slow
+def test_compiled_path_flags_corrupt_invalid_tx_status():
+    """The compiled path rejects a skipped tx whose receipt status was
+    flipped to success."""
+    from zkevm_specs_tpu.runtime.block import CompiledBlockVerifier
+
+    tx = Transaction(id=1, gas=20000, gas_price=BASE_FEE,
+                     caller_address=0xFE, callee_address=0xFF, invalid_tx=1)
+    w = trace_block(Block(base_fee=BASE_FEE), [(tx, Bytecode().stop())])
+    for r in w.rw.rws:
+        if (r["key0"] == int(Target.TxReceipt)
+                and r["field_tag"] == int(TxReceiptFieldTag.PostStateOrStatus)):
+            r["value"] = 1
+    with pytest.raises(AssertionError):
+        CompiledBlockVerifier(w).verify()
