@@ -269,3 +269,27 @@ def test_compiled_path_flags_corrupt_invalid_tx_status():
             r["value"] = 1
     with pytest.raises(AssertionError):
         CompiledBlockVerifier(w).verify()
+
+
+# -- block-level totality (end_block proofs, reference end_block.py:11-60) ----
+
+def test_block_cumulative_gas_over_limit_rejected():
+    """A traced block whose receipts' cumulative gas exceeds the block
+    gas_limit fails the end_block totality argument (proof F)."""
+    bc = Bytecode().push1(1).pop().stop()
+    txs = [(Transaction(id=i + 1, gas=30000, gas_price=int(2e9),
+                        caller_address=0xFE, callee_address=0xFF + i), bc)
+           for i in range(2)]
+    w = trace_block(Block(base_fee=BASE_FEE, gas_limit=40000), txs)
+    with pytest.raises(AssertionError):
+        verify_super_circuit(w)
+
+
+def test_block_cumulative_gas_at_limit_accepted():
+    """The same block under a sufficient gas_limit verifies."""
+    bc = Bytecode().push1(1).pop().stop()
+    txs = [(Transaction(id=i + 1, gas=30000, gas_price=int(2e9),
+                        caller_address=0xFE, callee_address=0xFF + i), bc)
+           for i in range(2)]
+    w = trace_block(Block(base_fee=BASE_FEE, gas_limit=60000), txs)
+    verify_super_circuit(w)
