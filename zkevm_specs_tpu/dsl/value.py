@@ -163,6 +163,20 @@ class F:
     def __sub__(self, other: IntOrF) -> "F":
         other = self._coerce(other)
         xp = self.ctx.xp
+        # no-borrow fast path: a scalar lhs whose value dominates the rhs's
+        # static bound cannot wrap mod p (e.g. the ubiquitous `1 - flag`),
+        # so the difference keeps the narrow width and bound.  Exact under
+        # the bound contract (bits is a hard bound for canonical values).
+        if self.limbs.shape[0] == 1 and self.bits <= 32 and other.bits <= self.bits:
+            try:  # concrete arrays only — jit tracers fall through to mod-p
+                v = int(self.limbs[0, 0]) + (
+                    (int(self.limbs[0, 1]) << L.LIMB_BITS) if self.width > 1 else 0)
+            except Exception:
+                v = -1
+            if v >= (1 << other.bits) - 1:
+                w = width_for_bits(self.bits)
+                d, _ = L.sub(xp, self.widen(w).limbs, other.widen(w).limbs)
+                return F(self.ctx, d, self.bits)
         return F(self.ctx, fr.sub(xp, self.widen(16).limbs, other.widen(16).limbs), 254)
 
     def __rsub__(self, other: IntOrF) -> "F":
@@ -171,6 +185,14 @@ class F:
     def __mul__(self, other: IntOrF) -> "F":
         other = self._coerce(other)
         xp = self.ctx.xp
+        # flag fast path: a 1-bit operand is 0/1 by the bound contract, so
+        # the product is an elementwise select — no limb convolution, no
+        # Barrett reduction.  This covers the pervasive `sel * expr`
+        # boolean-algebra patterns in the gadget layer.
+        if self.bits == 1 or other.bits == 1:
+            flag, val = (self, other) if self.bits == 1 else (other, self)
+            out = val.limbs * flag.limbs[..., :1]
+            return F(self.ctx, out, val.bits)
         nb = self.bits + other.bits
         if nb <= 253:
             out = L.mul(xp, self.limbs, other.limbs, width_for_bits(nb))
