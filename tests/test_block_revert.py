@@ -399,3 +399,69 @@ def test_block_gas_uint_overflow():
     assert ExecutionState.ErrorGasUintOverflow in {s.execution_state
                                                    for s in w.steps}
     verify_super_circuit(w)
+
+
+# -- invalid-jump destination boundary matrix ---------------------------------
+# (reference tests/evm/test_error_invalid_jump.py:1-150 destination classes,
+# driven end-to-end through the tracer's pre-dispatch error classification)
+
+def test_block_jump_into_push_data():
+    """A JUMPDEST byte inside PUSH data is NOT code (is_code=0): jumping
+    there is an invalid jump even though the byte value is 0x5B."""
+    # PUSH2 0x5B5B puts 0x5B at pc 1 and 2 as DATA; then jump to 1
+    bc = Bytecode().push2(0x5B5B).pop().push1(1).jump()
+    w = _trace(bc)
+    assert ExecutionState.ErrorInvalidJump in {s.execution_state for s in w.steps}
+    assert w.tx_success == [False]
+    verify_super_circuit(w)
+
+
+def test_block_jump_to_code_end():
+    """dest == code length (one past the last byte) is out of range."""
+    bc = Bytecode().push1(4).jump()  # code is exactly 4 bytes: 60 04 56 ...
+    code_len = len(bc.code)
+    bc2 = Bytecode().push1(code_len).jump()
+    w = _trace(bc2)
+    assert ExecutionState.ErrorInvalidJump in {s.execution_state for s in w.steps}
+    verify_super_circuit(w)
+
+
+def test_block_jump_to_huge_dest():
+    """A 2^63-scale destination (word far beyond any code) is invalid."""
+    bc = Bytecode().push32(1 << 63).jump()
+    w = _trace(bc)
+    assert ExecutionState.ErrorInvalidJump in {s.execution_state for s in w.steps}
+    verify_super_circuit(w)
+
+
+def test_block_jump_valid_dest_after_push_data():
+    """A real JUMPDEST after PUSH data is reachable; the 0x5B bytes inside
+    the push data do not confuse the is_code map."""
+    # layout: PUSH2 0x5B5B | POP | PUSH1 dest | JUMP | JUMPDEST | STOP
+    bc = Bytecode().push2(0x5B5B).pop().push1(7).jump().jumpdest().stop()
+    w = _trace(bc)
+    assert ExecutionState.ErrorInvalidJump not in {s.execution_state for s in w.steps}
+    assert w.tx_success == [True]
+    verify_super_circuit(w)
+
+
+def test_block_jumpi_huge_dest_not_taken():
+    """JUMPI with an out-of-range dest but condition 0 is NOT an error."""
+    bc = Bytecode().push1(0).push32(1 << 200).swap1().pop().pop().stop()
+    w = _trace(bc)
+    assert ExecutionState.ErrorInvalidJump not in {s.execution_state for s in w.steps}
+    verify_super_circuit(w)
+
+
+def test_block_jump_in_subcall_restores_caller():
+    """An invalid jump inside a subcall halts the callee only; the caller
+    continues and succeeds."""
+    callee = Bytecode().push1(60).jump()
+    w = trace_block(
+        Block(base_fee=int(1e9)),
+        [(_tx(), _call(Bytecode(), 0x600, gas=0xFFFF).stop())],
+        accounts={0x600: Account(address=0x600, code=callee)})
+    states = {s.execution_state for s in w.steps}
+    assert ExecutionState.ErrorInvalidJump in states
+    assert w.tx_success == [True]
+    verify_super_circuit(w)
