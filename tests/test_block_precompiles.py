@@ -135,3 +135,80 @@ def test_block_ecrecover_corrupt_sig_table_rejected():
     w.sig_rows[0].recovered_addr += 1
     with pytest.raises(AssertionError):
         verify_super_circuit(w)
+
+
+# -- identity (0x04) calldata-length sweep ------------------------------------
+# (reference tests/evm/test_dataCopy.py:1-184 length dimensions, traced
+# end-to-end through the copy circuit.  The tracer mirrors the reference
+# dataCopy gadget's length-expression quirk: identity calls require
+# rd_offset == 0 and rd_length == cd_length, so the sweep varies the
+# common length and the input offset.)
+
+@pytest.mark.parametrize("cd_len", [1, 16, 31, 32, 33, 64, 96])
+def test_block_identity_length_sweep(cd_len):
+    data = bytes((7 * i + 3) & 0xFF for i in range(cd_len))
+    bc = Bytecode()
+    _store(bc, data)
+    _call_precompile(bc, 0x04, cd=(0, cd_len), rd=(0, cd_len))
+    # commit the first word of the (overwritten-in-place) region
+    bc.push1(0).mload().push1(0x07).sstore()
+    bc.stop()
+    w = _trace(bc)
+    states = {s_.execution_state for s_ in w.steps}
+    assert ExecutionState.DATACOPY in states
+    verify_super_circuit(w)
+    from zkevm_specs_tpu.tables.schemas import Target
+    rows = [r for r in w.rw.rws
+            if r["key0"] == int(Target.AccountStorage) and r["rw"] == 1]
+    assert rows[-1]["value"] == int.from_bytes(data[:32].ljust(32, b"\x00"), "big")
+
+
+def test_block_identity_offset_input():
+    """Identity over a non-zero calldata offset, DISJOINT from the return
+    region (input at 64..96, return region at 0..32).  A partially
+    overlapping pair is untraceable: the dataCopy gadget's copy events
+    re-read the input after the callop return-region write (documented
+    tracer guard)."""
+    data = bytes(range(32))
+    bc = Bytecode()
+    _store(bc, data, offset=64)
+    _call_precompile(bc, 0x04, cd=(64, 32), rd=(0, 32))
+    bc.push1(0).mload().push1(0x07).sstore()
+    bc.stop()
+    w = _trace(bc)
+    verify_super_circuit(w)
+    from zkevm_specs_tpu.tables.schemas import Target
+    rows = [r for r in w.rw.rws
+            if r["key0"] == int(Target.AccountStorage) and r["rw"] == 1]
+    assert rows[-1]["value"] == int.from_bytes(data, "big")
+
+
+def test_block_identity_overlapping_regions_guarded():
+    """A partial cd/rd overlap raises the documented tracer guard instead
+    of emitting an inconsistent witness."""
+    data = bytes(range(64))
+    bc = Bytecode()
+    _store(bc, data)
+    _call_precompile(bc, 0x04, cd=(16, 32), rd=(0, 32))
+    bc.stop()
+    with pytest.raises(AssertionError, match="disjoint"):
+        _trace(bc)
+
+
+def test_block_identity_corrupt_output_rejected():
+    """Corrupting a copied output byte in the rw rows breaks the copy
+    circuit's read/write pairing."""
+    data = bytes([0xAB] * 32)
+    bc = Bytecode()
+    _store(bc, data, offset=64)
+    _call_precompile(bc, 0x04, cd=(64, 32), rd=(0, 32))
+    bc.stop()
+    w = _trace(bc)
+    from zkevm_specs_tpu.tables.schemas import Target
+    writes = [r for r in w.rw.rws
+              if r["key0"] == int(Target.Memory) and r["rw"] == 1
+              and r["value"] == 0xAB]
+    assert writes
+    writes[-1]["value"] = 0xAC
+    with pytest.raises(AssertionError):
+        verify_super_circuit(w)

@@ -1539,6 +1539,12 @@ class _Tracer:
             assert rd_offset == 0 and rd_length == cd_length, (
                 "tracer: identity calls need rd_offset == 0 and "
                 "rd_length == cd_length (dataCopy.py length-expression quirk)")
+            assert cd_offset == 0 or cd_offset >= cd_length, (
+                "tracer: identity calldata region must equal or be disjoint "
+                "from the return region — the dataCopy gadget's copy events "
+                "(dataCopy.py:38-62) re-read the input AFTER the callop "
+                "return-region write, so a partial overlap cannot form a "
+                "read-consistent integrated witness")
             output = inp
             ret_len = cd_length
             prec_gas = IdentityBaseGas + IdentityPerWordGas * ((cd_length + 31) // 32)
