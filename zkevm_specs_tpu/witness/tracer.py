@@ -2140,6 +2140,12 @@ class _Tracer:
         cur = self.block.number
         if number < cur and cur <= 256 + number:
             idx = cur - number - 1  # history_hashes is most-recent-last
+            assert idx < len(self.block.history_hashes), (
+                f"tracer: BLOCKHASH of block {number} is inside the 256-"
+                f"block window but the Block witness records only "
+                f"{len(self.block.history_hashes)} history hashes — the "
+                "gadget's block-table lookup needs the hash; extend "
+                "Block(history_hashes=...)")
             value = self.block.history_hashes[-1 - idx]
         else:
             value = 0
