@@ -581,14 +581,49 @@ def _bench_block_mix(make_txs, n_iters, measure_fresh=True):
     }
 
 
+_hung_threads = []
+
+
+def _run_with_deadline(fn, seconds):
+    """Run ``fn()`` in a daemon thread with a hard wall-clock cap.
+
+    Returns (result, timed_out).  On timeout the thread keeps running in
+    the background (XLA compiles cannot be interrupted safely); it is
+    recorded in ``_hung_threads`` so ``bench_default`` can finish with
+    ``os._exit`` instead of waiting on interpreter teardown.  This is what
+    guarantees the driver ALWAYS gets a parseable last JSON line within
+    the budget (round-4 verdict #1: a single slow cold compile must not
+    forfeit the whole artifact)."""
+    import threading
+
+    box = {}
+
+    def target():
+        try:
+            box["r"] = fn()
+        except BaseException as e:  # surfaced in the caller's thread
+            box["e"] = e
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    t.join(max(0.0, seconds))
+    if t.is_alive():
+        _hung_threads.append(t)
+        return None, True
+    if "e" in box:
+        raise box["e"]
+    return box.get("r"), False
+
+
 def _alu_ops_for_budget(remaining_s):
     """Pick the ALU-mix size the remaining budget can afford.  Cost model
-    calibrated on the round-5 sandbox measurements (docs/serving.md: a
-    64k-step block costs ~2 s trace + ~17 s build + upload on a 2-core
-    host; the TPU host is comparable once timed device iterations are
-    added): a (txs=8, ops) mix has 8*(4*ops+3) steps and costs roughly
-    steps/3000 seconds end to end with warm compile caches, plus ~30 s
-    of fixed overhead."""
+    calibrated on the round-5 warm-cache TPU measurement (352k steps =
+    trace 6 s + build 34 s + prepare_cold 39 s + device ~25 s, plus a
+    same-sized fresh-block repeat when measure_fresh is on): a
+    (txs=8, ops) mix has 8*(4*ops+3) steps and costs roughly steps/3000
+    seconds end to end with warm compile caches, plus ~30 s of fixed
+    overhead.  Cold XLA compiles can exceed this by minutes — the hard
+    deadline cap in bench_default (not this model) is what bounds that."""
     full = int(os.environ.get("BENCH_ALU_OPS", "11000"))
     for ops in (full, 4000, 1500, 500):
         steps = 8 * (4 * ops + 3)
@@ -916,11 +951,21 @@ def bench_default():
     try:
         remaining = deadline - time.time()
         if remaining > 30:
-            sstore = _bench_block_mix(
-                lambda: _sstore_heavy_txs(n_txs), n_iters,
-                measure_fresh=remaining > 120)
-            sc["sstore_heavy"] = sstore
-            sc["value"] = sstore["gas_per_s"]
+            # hard cap: a cold-compile overrun is cut off, not waited out
+            # (reserve a slice for the ALU attempt + the final emit)
+            sstore, timed_out = _run_with_deadline(
+                lambda: _bench_block_mix(
+                    lambda: _sstore_heavy_txs(n_txs), n_iters,
+                    measure_fresh=remaining > 120),
+                remaining - 20)
+            if timed_out:
+                sc["sstore_heavy"] = {
+                    "skipped": "deadline: cold compiles exceeded the "
+                               "remaining budget (rerun with a warm "
+                               ".jax_cache or a larger BENCH_BUDGET_S)"}
+            else:
+                sc["sstore_heavy"] = sstore
+                sc["value"] = sstore["gas_per_s"]
         else:
             sc["sstore_heavy"] = {"skipped": "budget exhausted"}
     except Exception as e:
@@ -928,22 +973,33 @@ def bench_default():
     emit()
     try:
         alu_ops = _alu_ops_for_budget(deadline - time.time())
-        if alu_ops > 0:
-            alu = _bench_block_mix(
-                lambda: _alu_heavy_txs(8, alu_ops), n_iters,
-                measure_fresh=(deadline - time.time()
-                               > 2 * (8 * 4 * alu_ops) / 3000.0 + 60))
-            alu["alu_ops_per_tx"] = alu_ops
-            alu["alu_scaled_down"] = alu_ops < full_alu
-            sc["alu_heavy"] = alu
-            worse = (alu if sstore is None
-                     else min(sstore, alu, key=lambda m: m["gas_per_s"]))
-            sc["value"] = worse["gas_per_s"]
+        if alu_ops > 0 and not _hung_threads:
+            alu, timed_out = _run_with_deadline(
+                lambda: _bench_block_mix(
+                    lambda: _alu_heavy_txs(8, alu_ops), n_iters,
+                    measure_fresh=(deadline - time.time()
+                                   > 2 * (8 * 4 * alu_ops) / 3000.0 + 60)),
+                deadline - time.time() - 5)
+            if timed_out or alu is None:
+                sc["alu_heavy"] = {"skipped": "deadline during ALU mix"}
+            else:
+                alu["alu_ops_per_tx"] = alu_ops
+                alu["alu_scaled_down"] = alu_ops < full_alu
+                sc["alu_heavy"] = alu
+                worse = (alu if sstore is None
+                         else min(sstore, alu, key=lambda m: m["gas_per_s"]))
+                sc["value"] = worse["gas_per_s"]
         else:
             sc["alu_heavy"] = {"skipped": "budget exhausted"}
     except Exception as e:
         sc["alu_heavy"] = {"error": str(e)[:300]}
     emit()
+    if _hung_threads:
+        # a capped sub-bench is still compiling in a daemon thread; XLA
+        # teardown from here can deadlock or crash AFTER the artifact is
+        # already printed — leave immediately with success instead
+        sys.stdout.flush()
+        os._exit(0)
     return result
 
 
