@@ -72,13 +72,25 @@ def _ship_leaves(leaves: List[object]) -> List[object]:
     import jax.numpy as jnp
 
     buffers: Dict[str, list] = {}
-    layout = []  # (dtype key, offset, shape) per leaf
+    layout = []  # (buffer dtype key, offset, shape, widen-to dtype | None)
     for a in leaves:
         a = np.asarray(a)
+        widen = None
+        # canonical 16-bit limbs (and many index/flag columns) live in u32
+        # slots: ship them at their actual magnitude and widen back inside
+        # the jitted unpacker.  On the remote TPU tunnel the upload is
+        # bandwidth-bound (~hundreds of MB per large block), so the 2-4x
+        # byte cut is a direct cut to prepare wall time.
+        if a.dtype == np.uint32 and a.size:
+            m = int(a.max())
+            if m < (1 << 8):
+                widen, a = "uint32", a.astype(np.uint8)
+            elif m < (1 << 16):
+                widen, a = "uint32", a.astype(np.uint16)
         key = str(a.dtype)
         parts = buffers.setdefault(key, [])
         off = sum(p.size for p in parts)
-        layout.append((key, off, a.shape))
+        layout.append((key, off, a.shape, widen))
         parts.append(a.ravel())
     concat = {k: np.concatenate(v) for k, v in buffers.items()}
 
@@ -89,9 +101,11 @@ def _ship_leaves(leaves: List[object]) -> List[object]:
 
         def unpack(bufs):
             out = []
-            for key, off, shape in lay:
+            for key, off, shape, widen in lay:
                 n = int(np.prod(shape)) if shape else 1
                 piece = jax.lax.dynamic_slice(bufs[key], (off,), (n,))
+                if widen is not None:
+                    piece = piece.astype(widen)
                 out.append(piece.reshape(shape))
             return tuple(out)
 
